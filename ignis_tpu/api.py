@@ -1,0 +1,132 @@
+"""Runtime API — the counterpart of IG::Runtime (src/runtime/Runtime.h:19-198).
+
+`Runtime` owns the compiled scene, drives progressive accumulation
+(`step()`), and exposes ray-list tracing (`trace()`, the igtrace oracle,
+src/frontend/trace/main.cpp semantics).  The framebuffer is an unnormalized
+running sum with an iteration count, exactly like the reference
+(Device.cpp:94-100): consumers divide by `currentSampleCount()`.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ignis_tpu.render.integrator import trace_wave
+from ignis_tpu.scene.compile import CompiledScene, load_and_compile
+
+_DEFAULT_TILE = 1 << 16
+
+
+class Runtime:
+    def __init__(self, source, width=None, height=None, seed=0,
+                 tile_size=_DEFAULT_TILE):
+        self.scene: CompiledScene = load_and_compile(source, width, height)
+        self.tables = {k: jnp.asarray(v) for k, v in self.scene.tables.items()}
+        self.seed = int(seed)
+        self.iteration = 0
+        self.frame = 0
+        self.tile_size = int(tile_size)
+        w, h = self.scene.width, self.scene.height
+        self._accum = np.zeros((h * w, 3), dtype=np.float32)
+        self._samples = 0
+        self._render_tile = jax.jit(
+            partial(trace_wave, self.scene),
+            static_argnames=())
+
+    # ------------------------------------------------------------------ info
+    @property
+    def width(self):
+        return self.scene.width
+
+    @property
+    def height(self):
+        return self.scene.height
+
+    def currentSampleCount(self):
+        return self._samples
+
+    # ------------------------------------------------------------------ render
+    def reset(self):
+        self._accum[:] = 0
+        self._samples = 0
+        self.iteration = 0
+
+    def step(self, spi=1):
+        """Render `spi` samples/pixel for this iteration and accumulate."""
+        w, h = self.scene.width, self.scene.height
+        npix = w * h
+        tile = min(self.tile_size, npix)
+        for sample in range(spi):
+            for start in range(0, npix, tile):
+                count = min(tile, npix - start)
+                idx = np.arange(start, start + tile, dtype=np.int32)
+                idx = np.minimum(idx, npix - 1)  # pad tail with repeated pixel
+                x = jnp.asarray(idx % w)
+                y = jnp.asarray(idx // w)
+                color = self._render_tile(
+                    self.tables, x, y,
+                    jnp.uint32(sample), jnp.uint32(self.iteration),
+                    jnp.uint32(self.frame), self.seed)
+                color_np = np.asarray(color)[:count]
+                self._accum[start:start + count] += color_np
+        self._samples += spi
+        self.iteration += 1
+
+    def currentFrame(self) -> np.ndarray:
+        """Normalized framebuffer (H, W, 3)."""
+        w, h = self.scene.width, self.scene.height
+        norm = max(1, self._samples)
+        return (self._accum / norm).reshape(h, w, 3)
+
+    def rawFramebuffer(self) -> np.ndarray:
+        w, h = self.scene.width, self.scene.height
+        return self._accum.reshape(h, w, 3)
+
+    # ------------------------------------------------------------------ trace
+    def trace(self, rays, spp=1) -> np.ndarray:
+        """Ray-list tracing: rays = [(org, dir[, tmin, tmax]), ...].
+
+        Matches igtrace (frontend/trace/main.cpp:16-67): film is (n_rays, 1),
+        each ray id maps to pixel (i, 0); returns per-ray averaged RGB.
+        """
+        rays = list(rays)
+        n = len(rays)
+        org = np.zeros((n, 3), np.float32)
+        dirs = np.zeros((n, 3), np.float32)
+        tmin = np.zeros((n,), np.float32)
+        tmax = np.full((n,), np.float32(3.4028235e38))
+        for i, r in enumerate(rays):
+            org[i] = r[0]
+            dirs[i] = r[1]
+            if len(r) > 2:
+                tmin[i] = r[2]
+            if len(r) > 3:
+                tmax[i] = r[3]
+
+        x = jnp.arange(n, dtype=jnp.int32)
+        y = jnp.zeros((n,), jnp.int32)
+        total = np.zeros((n, 3), np.float32)
+        for it in range(spp):
+            color = _trace_rays_jit(self.scene, self.tables, x, y,
+                                    jnp.uint32(0), jnp.uint32(it),
+                                    jnp.uint32(self.frame), self.seed,
+                                    jnp.asarray(org), jnp.asarray(dirs),
+                                    jnp.asarray(tmin), jnp.asarray(tmax))
+            total += np.asarray(color)
+        return total / max(1, spp)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _trace_rays_jit(scene, tables, x, y, sample, iteration, frame, seed,
+                    org, dirs, tmin, tmax):
+    return trace_wave(scene, tables, x, y, sample, iteration, frame, seed,
+                      org=org, direction=dirs, tmin=tmin, tmax=tmax)
+
+
+def load_scene(source, **kw) -> Runtime:
+    return Runtime(source, **kw)

@@ -1,0 +1,361 @@
+"""Batched light union: sampling, pdfs, and emission for all light types.
+
+Mirrors src/artic/light/{point,area,env}.art and driver/light.art with the
+same measure conventions (driver/pdf.art): every branch reports its pdf both
+raw (`pdf_value`) and converted to solid angle (`pdf_solid`), which is what
+the path technique consumes (technique/pathtracer.art:77,96).
+
+Light parameter rows live in tables["light_data"] (N_lights, 32) with layouts
+set by the scene compiler:
+  POINT:       pos[0:3], intensity[3:6]
+  AREA_PLANE:  origin[0:3], x_axis[3:6], y_axis[6:9], normal[9:12], area[12],
+               radiance[13:16]
+  AREA_MESH:   radiance[0:3], tri_offset[3], tri_count[4], entity[5]
+  ENV:         radiance*scale[0:3], transform3x3[3:12]
+  DIRECTIONAL: dir[0:3], irradiance[3:6]
+  SPOT:        pos[0:3], dir[3:6], intensity[6:9], cos_cutoff[9], cos_falloff[10]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ignis_tpu.core import rng
+from ignis_tpu.core.vec import (
+    FLT_EPS, FLT_MAX, PI, cross, dot, length, mulf, normalize, safe_div,
+    safe_sqrt, vec3,
+)
+from ignis_tpu.core.warp import (
+    equal_area_sphere_pdf, equal_area_square_to_sphere, sample_triangle,
+)
+from ignis_tpu.scene.compile import (
+    LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_DIRECTIONAL, LIGHT_ENV,
+    LIGHT_POINT, LIGHT_SPOT,
+)
+
+
+def _ldata(tables, light_idx):
+    return tables["light_data"][light_idx]  # (N, 32)
+
+
+def select_light_uniform(num_lights, seed, counter, active):
+    """Uniform light selection (light/light_selector.art:26-44).
+
+    Draws next_i32(0, n-1) only when n > 1 (pick_light_id specializes n<=1
+    statically, consuming no randomness).
+    Returns (light_idx, select_pdf, counter).
+    """
+    if num_lights <= 1:
+        idx = jnp.zeros(counter.shape, dtype=jnp.int32)
+        return idx, jnp.float32(1.0 if num_lights == 0 else 1.0), counter
+    idx, counter = rng.next_i32(seed, counter, 0, num_lights - 1, active)
+    return idx, jnp.float32(1.0 / num_lights), counter
+
+
+# ---------------------------------------------------------------- sampling
+
+def _sample_point(data, from_point):
+    pos = data[:, 0:3]
+    intensity = data[:, 3:6]
+    dir_ = pos - from_point
+    dist = length(dir_)
+    d = dir_ * safe_div(1.0, dist)[..., None]
+    # pdf = make_area_pdf(1), cos = 1 (light/point.art:1-8)
+    return dict(dir=d, dist=dist, cos=jnp.ones_like(dist), pos=pos,
+                intensity=intensity,
+                pdf_value=jnp.ones_like(dist),
+                pdf_solid=dist * dist,   # to_solid(1, cos=1, d2)
+                )
+
+
+def _sample_directional(data, from_point, scene_radius):
+    d = -data[:, 0:3]  # direction property points FROM the light
+    irr = data[:, 3:6]
+    dist = jnp.full(from_point.shape[:-1], scene_radius, jnp.float32)
+    return dict(dir=d, dist=dist, cos=jnp.ones_like(dist),
+                pos=from_point + d * scene_radius,
+                intensity=irr,
+                pdf_value=jnp.ones_like(dist),
+                pdf_solid=jnp.ones_like(dist))
+
+
+def _sample_spot(data, from_point):
+    pos = data[:, 0:3]
+    ldir = data[:, 3:6]
+    intensity = data[:, 6:9]
+    cos_cutoff = data[:, 9]
+    cos_falloff = data[:, 10]
+    dir_ = pos - from_point
+    dist = length(dir_)
+    d = dir_ * safe_div(1.0, dist)[..., None]
+    cos_a = dot(-d, ldir)
+    # linear falloff between cutoff and falloff angles (light/spot.art)
+    t = safe_div(cos_a - cos_cutoff, cos_falloff - cos_cutoff)
+    fall = jnp.where(cos_a >= cos_falloff, 1.0,
+                     jnp.where(cos_a <= cos_cutoff, 0.0, jnp.clip(t, 0.0, 1.0)))
+    return dict(dir=d, dist=dist, cos=jnp.ones_like(dist), pos=pos,
+                intensity=intensity * fall[..., None],
+                pdf_value=jnp.ones_like(dist),
+                pdf_solid=dist * dist)
+
+
+def _compute_sq(origin, ex, ey, nrm, width, height, from_point):
+    """Spherical-rectangle precomputation (light/area.art:119-160)."""
+    dirv = origin - from_point
+    x0 = dot(dirv, ex)
+    y0 = dot(dirv, ey)
+    z0_ = dot(dirv, nrm)
+    x1 = x0 + width
+    y1 = y0 + height
+    pos_side = ~jnp.signbit(z0_)
+    z0 = jnp.where(pos_side, -z0_, z0_)
+    n = jnp.where(pos_side[..., None], -nrm, nrm)
+
+    v4 = jnp.stack([x0, y1, x1, y0], axis=-1)
+    w4 = jnp.stack([x1, y0, x0, y1], axis=-1)
+    diff = v4 - w4
+    m4 = jnp.stack([y0, x1, y1, x0], axis=-1)
+    nz_ = m4 * diff
+    denom = jnp.sqrt(diff * diff * (z0 * z0)[..., None] + nz_ * nz_)
+    nz = nz_ / jnp.where(denom == 0, 1.0, denom)
+
+    def sacos(a):
+        return jnp.arccos(jnp.clip(a, -1.0, 1.0))
+
+    g0 = sacos(-nz[..., 0] * nz[..., 1])
+    g1 = sacos(-nz[..., 1] * nz[..., 2])
+    g2 = sacos(-nz[..., 2] * nz[..., 3])
+    g3 = sacos(-nz[..., 3] * nz[..., 0])
+    b0 = nz[..., 0]
+    b1 = nz[..., 2]
+    k = 2.0 * PI - g2 - g3
+    s = g0 + g1 - k
+    return dict(x0=x0, y0=y0, z0=z0, x1=x1, y1=y1, b0=b0, b1=b1, k=k, s=s, n=n)
+
+
+def _sample_area_plane(data, from_point, is_entering, u1, u2):
+    """Ureña spherical-rectangle sampling (light/area.art:161-207)."""
+    origin = data[:, 0:3]
+    xa = data[:, 3:6]
+    ya = data[:, 6:9]
+    nrm = data[:, 9:12]
+    radiance = data[:, 13:16]
+    width = length(xa)
+    height = length(ya)
+    ex = xa * safe_div(1.0, width)[..., None]
+    ey = ya * safe_div(1.0, height)[..., None]
+
+    sq = _compute_sq(origin, ex, ey, nrm, width, height, from_point)
+
+    au = u1 * sq["s"] + sq["k"]
+    fu = (jnp.cos(au) * sq["b0"] - sq["b1"]) / jnp.sin(au)
+    cu_d = jnp.sqrt(fu * fu + sq["b0"] * sq["b0"])
+    cu = jnp.clip(jnp.copysign(1.0, fu) / jnp.where(cu_d == 0, 1.0, cu_d), -1.0, 1.0)
+    xu = jnp.clip(-(cu * sq["z0"]) / jnp.sqrt(jnp.maximum(1.0 - cu * cu, 1e-20)),
+                  sq["x0"], sq["x1"])
+    d = jnp.sqrt(xu * xu + sq["z0"] * sq["z0"])
+    h0 = sq["y0"] / jnp.sqrt(d * d + sq["y0"] * sq["y0"])
+    h1 = sq["y1"] / jnp.sqrt(d * d + sq["y1"] * sq["y1"])
+    hv = h0 + u2 * (h1 - h0)
+    hv2 = hv * hv
+    yv = jnp.where(hv2 < 1.0 - 1e-6,
+                   (hv * d) / jnp.sqrt(jnp.maximum(1.0 - hv2, 1e-20)),
+                   sq["y1"])
+
+    p = (from_point + ex * xu[..., None] + ey * yv[..., None]
+         + sq["n"] * sq["z0"][..., None])
+    pdf_s = safe_div(1.0, sq["s"])
+    weight = sq["s"]
+
+    dir_ = p - from_point
+    dist = length(dir_)
+    dirn = dir_ * safe_div(1.0, dist)[..., None]
+    cos = dot(dirn, nrm) * jnp.where(is_entering, -1.0, 1.0)
+    return dict(dir=dirn, dist=dist, cos=cos, pos=p,
+                intensity=radiance * weight[..., None],
+                pdf_value=pdf_s, pdf_solid=pdf_s)
+
+
+def _sample_area_mesh(data, tables, from_point, is_entering, u1, u2):
+    """Uniform-triangle mesh emitter (light/area.art:45-90), batched.
+
+    Triangles are rows [tri_offset, tri_offset+count) of the global soup.
+    """
+    radiance = data[:, 0:3]
+    tri_offset = data[:, 3].astype(jnp.int32)
+    tri_count = data[:, 4]
+    ux = u1 * tri_count
+    f = jnp.minimum(ux.astype(jnp.int32), tri_count.astype(jnp.int32) - 1)
+    bu, bv = sample_triangle(ux - f.astype(jnp.float32), u2)
+    t = tri_offset + f
+    v0 = tables["tri_v0"][t]
+    e1 = tables["tri_e1"][t]
+    e2 = tables["tri_e2"][t]
+    nraw = cross(e1, e2)
+    nlen = length(nraw)
+    area = 0.5 * nlen
+    face_n = nraw * safe_div(1.0, nlen)[..., None]
+    inv_area = safe_div(1.0, area)
+    p = v0 + e1 * bu[..., None] + e2 * bv[..., None]
+    pdfv = inv_area / tri_count
+    weight = tri_count / jnp.where(inv_area == 0, 1.0, inv_area)
+
+    dir_ = p - from_point
+    dist = length(dir_)
+    dirn = dir_ * safe_div(1.0, dist)[..., None]
+    cos = dot(dirn, face_n) * jnp.where(is_entering, -1.0, 1.0)
+    d2 = dist * dist
+    return dict(dir=dirn, dist=dist, cos=cos, pos=p,
+                intensity=radiance * weight[..., None],
+                pdf_value=pdfv,
+                pdf_solid=pdfv * safe_div(d2, jnp.abs(cos)))
+
+
+def _env_func(data, d_world):
+    """Constant/naive env radiance (no texture yet): scale*radiance."""
+    trans = data[:, 3:12].reshape(data.shape[0], 3, 3)
+    # func(transform @ dir); constant color ignores direction for now
+    return data[:, 0:3]
+
+
+def _sample_env(data, from_point, scene_radius, u1, u2):
+    """make_environment_light_function_spherical (light/env.art:76-103)."""
+    d = equal_area_square_to_sphere(u1, u2)
+    pdf = jnp.broadcast_to(equal_area_sphere_pdf(), u1.shape)
+    intensity = _env_func(data, d) * safe_div(1.0, pdf)[..., None]
+    return dict(dir=d, dist=jnp.full(u1.shape, scene_radius, jnp.float32),
+                cos=jnp.ones_like(u1),
+                pos=from_point + d * scene_radius,
+                intensity=intensity,
+                pdf_value=pdf, pdf_solid=pdf)
+
+
+# draw counts per light type (sample_direct)
+_LIGHT_DRAWS = {
+    LIGHT_POINT: 0, LIGHT_DIRECTIONAL: 0, LIGHT_SPOT: 0,
+    LIGHT_AREA_PLANE: 2, LIGHT_AREA_MESH: 2, LIGHT_ENV: 2,
+}
+
+
+def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
+                        seed, counter, active):
+    """Dispatch sample_direct over the per-lane selected light.
+
+    Returns (sample dict incl. infinite/delta masks, counter).
+    """
+    types_present = sorted({l.type for l in scene.lights})
+    light_type = tables["light_type"][light_idx]
+    data = _ldata(tables, light_idx)
+    scene_radius = scene.scene_radius() * 1.01
+
+    max_draws = max([_LIGHT_DRAWS[t] for t in types_present] + [0])
+    us = []
+    c = counter
+    for _ in range(max_draws):
+        u, c = rng.next_f32(seed, c)
+        us.append(u)
+    while len(us) < 2:
+        us.append(jnp.zeros(counter.shape, dtype=jnp.float32))
+
+    n = from_point.shape[0]
+    out = dict(dir=jnp.zeros((n, 3), jnp.float32),
+               dist=jnp.zeros((n,), jnp.float32),
+               cos=jnp.zeros((n,), jnp.float32),
+               pos=jnp.zeros((n, 3), jnp.float32),
+               intensity=jnp.zeros((n, 3), jnp.float32),
+               pdf_value=jnp.zeros((n,), jnp.float32),
+               pdf_solid=jnp.zeros((n,), jnp.float32))
+    draws = jnp.zeros((n,), dtype=jnp.uint32)
+
+    for t in types_present:
+        if t == LIGHT_POINT:
+            r = _sample_point(data, from_point)
+        elif t == LIGHT_AREA_PLANE:
+            r = _sample_area_plane(data, from_point, is_entering, us[0], us[1])
+        elif t == LIGHT_AREA_MESH:
+            r = _sample_area_mesh(data, tables, from_point, is_entering, us[0], us[1])
+        elif t == LIGHT_ENV:
+            r = _sample_env(data, from_point, scene_radius, us[0], us[1])
+        elif t == LIGHT_DIRECTIONAL:
+            r = _sample_directional(data, from_point, scene_radius)
+        elif t == LIGHT_SPOT:
+            r = _sample_spot(data, from_point)
+        else:
+            continue
+        m = light_type == t
+        for k in out:
+            out[k] = jnp.where(m[..., None] if out[k].ndim == 2 else m, r[k], out[k])
+        draws = jnp.where(m, jnp.uint32(_LIGHT_DRAWS[t]), draws)
+
+    out["infinite"] = tables["light_infinite"][light_idx]
+    out["delta"] = tables["light_delta"][light_idx]
+    counter = jnp.where(active, counter + draws, counter)
+    return out, counter
+
+
+# ---------------------------------------------------------- pdfs & emission
+
+def light_pdf_direct_solid(scene, tables, light_idx, ray_org, ray_dir,
+                           hit_dist, hit_cos, prim_coords, valid):
+    """pdf of NEE-sampling the given light toward the hit point, in solid
+    angle (what on_hit's MIS needs: emit.pdf.as_solid(dot, dist^2)).
+
+    `prim_coords` are the hit barycentrics — the mesh branch reproduces the
+    reference's prim_coords→triangle quirk (light/area.art:60-66: the pdf
+    lookup reuses sample()'s uv mapping on hit barycentrics, exact for
+    uniform-area meshes).
+    """
+    types_present = sorted({l.type for l in scene.lights})
+    light_type = tables["light_type"][light_idx]
+    data = _ldata(tables, light_idx)
+    out = jnp.zeros(hit_dist.shape, dtype=jnp.float32)
+    d2 = hit_dist * hit_dist
+    for t in types_present:
+        if t == LIGHT_AREA_PLANE:
+            origin = data[:, 0:3]
+            xa = data[:, 3:6]
+            ya = data[:, 6:9]
+            nrm = data[:, 9:12]
+            width = length(xa)
+            height = length(ya)
+            ex = xa * safe_div(1.0, width)[..., None]
+            ey = ya * safe_div(1.0, height)[..., None]
+            sq = _compute_sq(origin, ex, ey, nrm, width, height, ray_org)
+            v = safe_div(1.0, sq["s"])
+        elif t == LIGHT_AREA_MESH:
+            tri_offset = data[:, 3].astype(jnp.int32)
+            tri_count = data[:, 4]
+            ux = prim_coords[..., 0] * tri_count
+            f = jnp.minimum(ux.astype(jnp.int32),
+                            jnp.maximum(tri_count.astype(jnp.int32) - 1, 0))
+            tt = tri_offset + f
+            e1 = tables["tri_e1"][tt]
+            e2 = tables["tri_e2"][tt]
+            area = 0.5 * length(cross(e1, e2))
+            pdf_area = safe_div(1.0, area) / jnp.maximum(tri_count, 1.0)
+            v = pdf_area * safe_div(d2, jnp.abs(hit_cos))
+        elif t == LIGHT_ENV:
+            v = jnp.broadcast_to(equal_area_sphere_pdf(), hit_dist.shape)
+        else:
+            v = jnp.ones_like(hit_dist)  # delta lights: never hit
+        out = jnp.where(light_type == t, v, out)
+    return jnp.where(valid, out, 0.0)
+
+
+def env_emission_and_pdf(scene, tables, light_id, ray_dir):
+    """Emission + pdf_direct (solid) of one infinite light for escaped rays
+    (pathtracer.art on_miss).  light_id is a static python int.
+    """
+    info = scene.lights[light_id]
+    data = tables["light_data"][light_id]
+    if info.type == LIGHT_ENV:
+        trans = data[3:12].reshape(3, 3)
+        # emission = func(transform @ ray.dir); constant radiance for now
+        color = jnp.broadcast_to(data[0:3], ray_dir.shape)
+        pdf = jnp.broadcast_to(equal_area_sphere_pdf(), ray_dir.shape[:-1])
+        return color, pdf
+    # delta infinite lights (directional/sun) are never hit by chance
+    zero = jnp.zeros(ray_dir.shape, jnp.float32)
+    return zero, jnp.zeros(ray_dir.shape[:-1], jnp.float32)
+
+

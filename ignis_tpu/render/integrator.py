@@ -1,0 +1,278 @@
+"""Wavefront path tracer (the `path` technique).
+
+TPU-native restructuring of the reference pipeline: instead of JIT-specialized
+per-material hit shaders dispatched over sorted ray ranges
+(driver/mapping_cpu.art:694-836), every bounce processes the full fixed-size
+ray wave with masked lanes — divergence-free VPU code under a
+`lax.while_loop`.  Technique logic (NEE, MIS weights, russian roulette,
+payload layout) mirrors src/artic/technique/pathtracer.art exactly, and the
+RNG draw order matches the reference per lane, giving bit-stable path replay
+(SURVEY.md §8.10) for the backward pass.
+
+Payload (pathtracer.art:7-31): inv_pdf, contrib, depth (starts at 1), eta.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ignis_tpu.bsdf import bsdf_eval, bsdf_pdf, bsdf_sample, bsdf_specular_mask
+from ignis_tpu.core import rng
+from ignis_tpu.core.vec import (
+    FLT_EPS, FLT_MAX, cross, dot, length, mulf, normalize, orthonormal_basis,
+    safe_div, vec3,
+)
+from ignis_tpu.light import (
+    env_emission_and_pdf, light_pdf_direct_solid, sample_light_direct,
+    select_light_uniform,
+)
+from ignis_tpu.ops.intersect import intersect_any, intersect_closest
+from ignis_tpu.render.camera import generate_rays, pixel_coord_from_xy
+
+OFFSET = jnp.float32(0.001)  # ray offset (pathtracer.art:41)
+
+RAY_CAMERA = 0x1
+RAY_LIGHT = 0x2
+RAY_BOUNCE = 0x4
+RAY_SHADOW = 0x8
+
+
+def _handle_color(c, clamp_value):
+    if clamp_value > 0:
+        return jnp.minimum(c, jnp.float32(clamp_value))
+    return c
+
+
+def _tri_mask_for(tables, flag_bit):
+    ent_flags = tables["ent_flags"]
+    return (ent_flags[tables["tri_ent"]] & flag_bit) != 0
+
+
+def _surface_at(tables, prim, org, direction, t, u, v):
+    """SurfaceElement for hit lanes (shapes/trimesh.art:14-40)."""
+    v0 = tables["tri_v0"][prim]
+    e1 = tables["tri_e1"][prim]
+    e2 = tables["tri_e2"][prim]
+    n0 = tables["tri_n0"][prim]
+    n1 = tables["tri_n1"][prim]
+    n2 = tables["tri_n2"][prim]
+    uv0 = tables["tri_uv0"][prim]
+    uv1 = tables["tri_uv1"][prim]
+    uv2 = tables["tri_uv2"][prim]
+    nraw = cross(e1, e2)
+    nlen = length(nraw)
+    face_n = nraw * safe_div(1.0, nlen)[..., None]
+    inv_area = safe_div(1.0, 0.5 * nlen)
+    entering = dot(direction, face_n) <= 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)[..., None]
+    ns = normalize(n0 * (1.0 - u - v)[..., None] + n1 * u[..., None] + n2 * v[..., None])
+    ns = ns * sgn
+    face_n = face_n * sgn
+    point = org + direction * t[..., None]
+    tex = (uv0 * (1.0 - u - v)[..., None] + uv1 * u[..., None] + uv2 * v[..., None])
+    tb, bb = orthonormal_basis(ns)
+    ent = tables["tri_ent"][prim]
+    return dict(point=point, n=ns, ng=face_n, is_entering=entering,
+                inv_area=inv_area, tex=tex, t=tb, b=bb,
+                ent=ent, mat_id=tables["ent_mat"][ent],
+                light_id=tables["ent_light"][ent],
+                prim_coords=jnp.stack([u, v], axis=-1))
+
+
+def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
+               org=None, direction=None, tmin=None, tmax=None):
+    """Trace one wave of rays to completion; returns per-lane radiance (N, 3).
+
+    If org/direction are given, acts as the list emitter (igtrace semantics,
+    driver/emitter.art:18-31): no pixel-sampler draws, rays used as provided.
+    """
+    tech = scene.technique
+    n = x.shape[0]
+    seed = rng.create_seed(sample, iteration, frame, x, y,
+                           jnp.uint32(user_seed))
+    counter = jnp.full((n,), 1, dtype=jnp.uint32)  # create_random_generator
+
+    if org is None:
+        # camera emitter (driver/emitter.art:6-16): pixel sampler then camera
+        if scene.sampler in ("independent", "uniform"):
+            rx, counter = rng.next_f32(seed, counter)
+            ry, counter = rng.next_f32(seed, counter)
+        else:  # mjitt/halton TODO; fall back to independent draws
+            rx, counter = rng.next_f32(seed, counter)
+            ry, counter = rng.next_f32(seed, counter)
+        nx, ny = pixel_coord_from_xy(x, y, scene.width, scene.height, rx, ry)
+        org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny)
+
+    state = dict(
+        org=org, dir=direction, tmin=tmin, tmax=tmax,
+        alive=jnp.ones((n,), bool),
+        counter=counter,
+        inv_pdf=jnp.zeros((n,), jnp.float32),
+        contrib=jnp.ones((n, 3), jnp.float32),
+        depth=jnp.ones((n,), jnp.int32),
+        eta=jnp.ones((n,), jnp.float32),
+        accum=jnp.zeros((n, 3), jnp.float32),
+        bounce_index=jnp.int32(0),
+    )
+
+    num_lights = scene.num_lights
+    sel_pdf_const = jnp.float32(1.0 / num_lights) if num_lights > 0 else jnp.float32(1.0)
+    inf_ids = [i for i, l in enumerate(scene.lights) if l.infinite and not l.delta]
+
+    def bounce_body(state):
+        org, d = state["org"], state["dir"]
+        alive = state["alive"]
+        counter = state["counter"]
+        contrib = state["contrib"]
+        inv_pdf = state["inv_pdf"]
+        depth = state["depth"]
+        eta = state["eta"]
+        accum = state["accum"]
+
+        # ---- traverse primary. Ray type is wave-uniform: every lane starts
+        # as a camera ray at depth 1 and becomes a bounce ray together, so the
+        # visibility mask is a scalar select on the wave's bounce index.
+        mask_cam = _tri_mask_for(tables, RAY_CAMERA)
+        mask_bounce = _tri_mask_for(tables, RAY_BOUNCE)
+        is_first = state["bounce_index"] == 0
+        tri_mask = jnp.where(is_first, mask_cam, mask_bounce)
+        t, u, v, prim = intersect_closest(org, d, state["tmin"], state["tmax"],
+                                          tables["tri_v0"], tables["tri_e1"],
+                                          tables["tri_e2"], tri_mask=tri_mask)
+        hit = alive & (prim >= 0)
+        miss = alive & ~hit
+
+        # ---- on_miss: infinite, non-delta lights (pathtracer.art:137-162)
+        miss_color = jnp.zeros((n, 3), jnp.float32)
+        for lid in inf_ids:
+            emit, pdf_s = env_emission_and_pdf(scene, tables, lid, d)
+            if tech.enable_nee and num_lights > 0:
+                mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
+            else:
+                mis = jnp.ones((n,), jnp.float32)
+            miss_color = miss_color + _handle_color(contrib * emit * mis[..., None], tech.clamp)
+        accum = accum + jnp.where(miss[..., None], miss_color, 0.0)
+
+        # ---- surface for hit lanes
+        prim_s = jnp.maximum(prim, 0)
+        surf = _surface_at(tables, prim_s, org, d, t, u, v)
+        mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
+        specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
+
+        # ---- on_hit: emissive surfaces (pathtracer.art:115-135)
+        if any(l.type in (1, 2, 8) for l in scene.lights):
+            is_emissive = surf["light_id"] >= 0
+            dot_n = -dot(d, surf["n"])
+            lidx = jnp.maximum(surf["light_id"], 0)
+            pdf_s = light_pdf_direct_solid(
+                scene, tables, lidx, org, d, t, -dot(d, surf["ng"]),
+                surf["prim_coords"], is_emissive)
+            radiance = _area_light_radiance(scene, tables, lidx)
+            if tech.enable_nee:
+                mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
+            else:
+                mis = jnp.ones((n,), jnp.float32)
+            emit_ok = hit & is_emissive & surf["is_entering"] & (dot_n > FLT_EPS)
+            ec = _handle_color(contrib * radiance * mis[..., None], tech.clamp)
+            accum = accum + jnp.where(emit_ok[..., None], ec, 0.0)
+
+        # ---- on_shadow: NEE (pathtracer.art:52-113)
+        do_nee = (tech.enable_nee and num_lights > 0)
+        shadow_contrib = jnp.zeros((n, 3), jnp.float32)
+        shadow_valid = jnp.zeros((n,), bool)
+        if do_nee:
+            nee_active = hit & ~specular & (depth + 1 <= tech.max_depth)
+            lsel, sel_pdf, counter = select_light_uniform(
+                num_lights, seed, counter, nee_active)
+            ls, counter = sample_light_direct(
+                scene, tables, lsel, surf["point"], surf["is_entering"],
+                seed, counter, nee_active)
+            pdf_l_s = ls["pdf_solid"] * sel_pdf
+            out_dir = -d
+            pdf_e_s = bsdf_pdf(scene.bsdf_types, tables, mat_type, surf,
+                               ls["dir"], out_dir)
+            mis = jnp.where(ls["delta"], 1.0,
+                            1.0 / (1.0 + safe_div(pdf_e_s, pdf_l_s)))
+            factor = safe_div(ls["pdf_value"], pdf_l_s)
+            bsdf_c = bsdf_eval(scene.bsdf_types, tables, mat_type, surf,
+                               ls["dir"], out_dir)
+            sc = _handle_color(
+                ls["intensity"] * contrib * bsdf_c * (mis * factor)[..., None],
+                tech.clamp)
+            shadow_valid = (nee_active & (pdf_l_s > FLT_EPS)
+                            & (ls["cos"] > FLT_EPS))
+            shadow_contrib = jnp.where(shadow_valid[..., None], sc, 0.0)
+            # shadow ray geometry (pathtracer.art:98-110)
+            s_org = surf["point"]
+            finite_dir = ls["pos"] - surf["point"]
+            s_dir = jnp.where(ls["infinite"][..., None], ls["dir"], finite_dir)
+            s_tmax = jnp.where(ls["infinite"], FLT_MAX, 1.0 - OFFSET)
+
+        # ---- on_bounce (pathtracer.art:166-200)
+        can_bounce = hit & (depth + 1 <= tech.max_depth)
+        out_dir = -d
+        in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
+            scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+            active=can_bounce)
+        new_contrib = contrib * b_weight
+        # russian roulette (pbrt v4 variant, pathtracer.art:5, :185)
+        rr_base = jnp.max(new_contrib * (eta * eta)[..., None], axis=-1)
+        rr_prob = jnp.where(depth + 1 > tech.min_depth,
+                            jnp.clip(rr_base, 0.05, 0.95), 1.0)
+        u_rr, counter_rr = rng.next_f32(seed, counter)
+        rr_draw = can_bounce & b_valid
+        counter = jnp.where(rr_draw, counter_rr, counter)
+        survive = u_rr < rr_prob
+        alive_next = rr_draw & survive
+        contrib_next = new_contrib * safe_div(1.0, rr_prob)[..., None]
+        inv_pdf_next = jnp.where(specular, 0.0, safe_div(1.0, b_pdf))
+
+        # ---- trace shadow rays & splat (mapping on_shadow_miss)
+        if do_nee:
+            smask = _tri_mask_for(tables, RAY_SHADOW)
+            occ = intersect_any(s_org, s_dir,
+                                jnp.full((n,), OFFSET, jnp.float32),
+                                s_tmax, tables["tri_v0"], tables["tri_e1"],
+                                tables["tri_e2"], tri_mask=smask)
+            accum = accum + jnp.where((shadow_valid & ~occ)[..., None],
+                                      shadow_contrib, 0.0)
+
+        new_state = dict(
+            org=jnp.where(alive_next[..., None], surf["point"], org),
+            dir=jnp.where(alive_next[..., None], in_dir, d),
+            tmin=jnp.where(alive_next, OFFSET, state["tmin"]),
+            tmax=jnp.where(alive_next, FLT_MAX, state["tmax"]),
+            alive=alive_next,
+            counter=counter,
+            inv_pdf=jnp.where(alive_next, inv_pdf_next, inv_pdf),
+            contrib=jnp.where(alive_next[..., None], contrib_next, contrib),
+            depth=jnp.where(alive_next, depth + 1, depth),
+            eta=jnp.where(alive_next, eta * b_eta, eta),
+            accum=accum,
+            bounce_index=state["bounce_index"] + 1,
+        )
+        return new_state
+
+    def cond(state):
+        return jnp.any(state["alive"])
+
+    state = jax.lax.while_loop(cond, bounce_body, state)
+    return state["accum"]
+
+
+def _gather_mat_type(scene, tables, mat_id):
+    types = jnp.asarray(scene.bsdf_types, dtype=jnp.int32)
+    return types[mat_id]
+
+
+def _area_light_radiance(scene, tables, light_idx):
+    """Radiance color of area lights by id (layout per light type)."""
+    data = tables["light_data"][light_idx]
+    ltype = tables["light_type"][light_idx]
+    # plane: radiance at [13:16]; mesh: radiance at [0:3]
+    from ignis_tpu.scene.compile import LIGHT_AREA_MESH, LIGHT_AREA_PLANE
+    return jnp.where((ltype == LIGHT_AREA_PLANE)[..., None],
+                     data[:, 13:16], data[:, 0:3])

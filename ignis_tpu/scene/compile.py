@@ -1,0 +1,534 @@
+"""Scene compiler: parsed Scene → flat device tables + static config.
+
+This is the TPU-native replacement for the reference's entire codegen stack
+(src/runtime/loader/* generating Artic source per material/light): instead of
+emitting specialized shader strings, we lower the scene to
+
+  * a world-space triangle soup (entity transforms baked in, matching the
+    two-level BVH semantics of src/runtime/loader/LoaderEntity.cpp without
+    runtime ray re-transformation),
+  * array-of-struct material/light parameter tables, and
+  * a static `SceneConfig` (shapes & counts) that `jit` specializes on.
+
+Registry parameters (the reference's ParameterSet, src/runtime/RuntimeStructs.h:56-69)
+become ordinary traced array entries in these tables, which is what makes the
+whole renderer differentiable w.r.t. BSDF/light/texture parameters.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from ignis_tpu.scene.mesh import TriMesh
+from ignis_tpu.scene.parser import Scene, SceneError, load_scene_file, load_scene_string
+from ignis_tpu.scene.shapes import build_shape
+from ignis_tpu.scene.transforms import normal_matrix, parse_transform
+
+DEG2RAD = math.pi / 180.0
+
+# BSDF type ids (dispatch indices for the batched material switch)
+BSDF_DIFFUSE = 0       # lambert / oren-nayar   (bsdf/diffuse.art)
+BSDF_DIELECTRIC = 1    # smooth/rough/thin      (bsdf/dielectric.art)
+BSDF_CONDUCTOR = 2     # smooth/rough           (bsdf/conductor.art)
+BSDF_PHONG = 3         # bsdf/phong.art
+BSDF_PLASTIC = 4       # bsdf/plastic.art
+BSDF_PRINCIPLED = 5    # bsdf/principled.art
+BSDF_PASSTHROUGH = 6   # null bsdf
+BSDF_MIRROR = 7        # perfect mirror (bsdf/conductor.art make_mirror_bsdf)
+BSDF_KLEMS = 8
+BSDF_TENSORTREE = 9
+BSDF_DJMEASURED = 10
+
+# Light type ids
+LIGHT_POINT = 0
+LIGHT_AREA_PLANE = 1   # spherical-rectangle sampled plane (light/area.art:119-244)
+LIGHT_AREA_MESH = 2    # uniform-triangle sampled mesh (light/area.art:45-90)
+LIGHT_ENV = 3          # constant/naive-textured env, equal-area sphere sampling
+LIGHT_ENV_CDF = 4      # textured env with 2D CDF importance sampling
+LIGHT_DIRECTIONAL = 5
+LIGHT_SPOT = 6
+LIGHT_SUN = 7
+LIGHT_AREA_SPHERE = 8
+
+_DIELECTRICS = {
+    "vacuum": 1.0, "bk7": 1.5046, "glass": 1.5046, "helium": 1.00004,
+    "hydrogen": 1.00013, "air": 1.000277, "water": 1.333, "ethanol": 1.361,
+    "diamond": 2.419, "polypropylene": 1.49,
+}
+
+_CONDUCTORS = {
+    # name: (eta rgb, kappa rgb) — src/runtime/bsdf/BSDF.cpp:29-42
+    "aluminum": ((1.34560, 0.96521, 0.61722), (7.47460, 6.39950, 5.30310)),
+    "brass": ((0.44400, 0.52700, 1.09400), (3.69500, 2.76500, 1.82900)),
+    "copper": ((0.27105, 0.67693, 1.31640), (3.60920, 2.62480, 2.29210)),
+    "gold": ((0.18299, 0.42108, 1.37340), (3.42420, 2.34590, 1.77040)),
+    "iron": ((2.91140, 2.94970, 2.58450), (3.08930, 2.93180, 2.76700)),
+    "lead": ((1.91000, 1.83000, 1.44000), (3.51000, 3.40000, 3.18000)),
+    "mercury": ((2.07330, 1.55230, 1.06060), (5.33830, 4.65100, 3.86280)),
+    "platinum": ((2.37570, 2.08470, 1.84530), (4.26550, 3.71530, 3.13650)),
+    "silver": ((0.15943, 0.14512, 0.13547), (3.92910, 3.19000, 2.38080)),
+    "titanium": ((2.74070, 2.54180, 2.26700), (3.81430, 3.43450, 3.03850)),
+    "none": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),
+}
+
+
+def _color(v, default=(0.0, 0.0, 0.0)):
+    """Resolve a color property: scalar, [r,g,b], or (later) texture ref."""
+    if v is None:
+        return np.asarray(default, dtype=np.float32), -1
+    if isinstance(v, (int, float)):
+        return np.full(3, float(v), dtype=np.float32), -1
+    if isinstance(v, list):
+        a = np.asarray([float(x) for x in v[:3]], dtype=np.float32)
+        if a.size == 1:
+            a = np.full(3, a[0], dtype=np.float32)
+        return a, -1
+    if isinstance(v, str):
+        # texture/PExpr reference — resolved by the texture system
+        return np.asarray(default, dtype=np.float32), v
+    raise SceneError(f"Cannot interpret color property {v!r}")
+
+
+def _number(v, default=0.0):
+    if v is None:
+        return float(default), -1
+    if isinstance(v, (int, float)):
+        return float(v), -1
+    if isinstance(v, str):
+        return float(default), v
+    raise SceneError(f"Cannot interpret number property {v!r}")
+
+
+@dataclass
+class CameraConfig:
+    type: str
+    eye: np.ndarray
+    dir: np.ndarray
+    up: np.ndarray
+    scale: np.ndarray       # (sw, sh) from tan(fov/2)
+    tmin: float
+    tmax: float
+    aperture_radius: float = 0.0
+    focal_length: float = 1.0
+    fishlens_mode: str = "circular"
+
+
+@dataclass
+class TechniqueConfig:
+    type: str = "path"
+    max_depth: int = 64
+    min_depth: int = 2
+    clamp: float = 0.0
+    enable_nee: bool = True
+    light_selector: str = "uniform"
+    aov_mis: bool = False
+    # debug / ao specific
+    debug_mode: str = "normal"
+    ao_radius: float = 0.0
+
+
+@dataclass
+class LightInfo:
+    """Static per-light record; array data lives in CompiledScene.tables."""
+    type: int
+    name: str
+    infinite: bool
+    delta: bool
+    entity: int = -1           # for area lights
+    tri_offset: int = 0        # into light-triangle arrays (mesh area)
+    tri_count: int = 0
+    draws: int = 2             # rnd draws consumed by sample_direct
+
+
+@dataclass(eq=False)  # identity hash: used as a static jit argument
+class CompiledScene:
+    width: int
+    height: int
+    sampler: str
+    camera: CameraConfig
+    technique: TechniqueConfig
+    bsdf_types: list            # static per-material python ints
+    lights: list                # list[LightInfo]; finite first? (see order note)
+    num_entities: int
+    tables: dict                # name -> np.ndarray (device tables)
+    bbox_min: np.ndarray
+    bbox_max: np.ndarray
+    entity_names: list = field(default_factory=list)
+    material_names: list = field(default_factory=list)
+
+    @property
+    def num_lights(self):
+        return len(self.lights)
+
+    @property
+    def infinite_light_ids(self):
+        return [i for i, l in enumerate(self.lights) if l.infinite]
+
+    def scene_radius(self) -> float:
+        d = self.bbox_max - self.bbox_min
+        return float(np.linalg.norm(d) * 0.5)
+
+    def scene_center(self) -> np.ndarray:
+        return (self.bbox_max + self.bbox_min) * 0.5
+
+
+def _compile_camera(scene: Scene, width: int, height: int) -> CameraConfig:
+    cam = scene.camera
+    ctype = cam.get("type", "perspective")
+    t = parse_transform(cam.get("transform")) if "transform" in cam else None
+    if t is not None:
+        eye = t[:3, 3].copy()
+        cdir = t[:3, 2].copy()
+        up = t[:3, 1].copy()
+    else:
+        eye = np.zeros(3)
+        cdir = np.array([0.0, 0.0, -1.0])
+        up = np.array([0.0, 1.0, 0.0])
+
+    # FOV semantics: Camera::extractFOV (src/runtime/camera/Camera.cpp:5-15)
+    if "vfov" in cam:
+        fov, vertical = float(cam["vfov"]) * DEG2RAD, True
+    elif "hfov" in cam:
+        fov, vertical = float(cam["hfov"]) * DEG2RAD, False
+    else:
+        fov, vertical = float(cam.get("fov", 60.0)) * DEG2RAD, False
+    aspect = float(cam.get("aspect_ratio", width / height))
+    if vertical:
+        sh = math.tan(fov / 2)
+        sw = sh * aspect
+    else:
+        sw = math.tan(fov / 2)
+        sh = sw / aspect
+
+    near = float(cam.get("near_clip", 0.0))
+    far = float(cam.get("far_clip", 3.4028235e38))
+    if far < near:
+        near, far = far, near
+    return CameraConfig(
+        type=ctype, eye=eye.astype(np.float32), dir=cdir.astype(np.float32),
+        up=up.astype(np.float32),
+        scale=np.array([sw, sh], dtype=np.float32), tmin=near, tmax=far,
+        aperture_radius=float(cam.get("aperture_radius", 0.0)),
+        focal_length=float(cam.get("focal_length", 1.0)))
+
+
+def _compile_technique(scene: Scene) -> TechniqueConfig:
+    tech = scene.technique
+    return TechniqueConfig(
+        type=tech.get("type", "path"),
+        max_depth=int(tech.get("max_depth", 64)),
+        min_depth=int(tech.get("min_depth", 2)),
+        clamp=float(tech.get("clamp", 0.0)),
+        enable_nee=bool(tech.get("nee", True)),
+        light_selector=tech.get("light_selector", "uniform") or "uniform",
+        aov_mis=bool(tech.get("aov_mis", False)),
+        debug_mode=tech.get("mode", "normal"),
+        ao_radius=float(tech.get("radius", 0.0)),
+    )
+
+
+def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray):
+    """Fill one material row. colors: (4,3); scalars: (8,). Returns type id."""
+    btype = obj.get("type", "diffuse")
+    if btype in ("diffuse", "roughdiffuse"):
+        c, _tex = _color(obj.get("reflectance"), (0.5, 0.5, 0.5))
+        colors[0] = c
+        alpha, _ = _number(obj.get("alpha", obj.get("roughness")), 0.0)
+        scalars[0] = alpha
+        return BSDF_DIFFUSE
+    if btype in ("dielectric", "roughdielectric", "thindielectric", "glass"):
+        ks, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
+        kt, _ = _color(obj.get("specular_transmittance"), (1, 1, 1))
+        colors[0], colors[1] = ks, kt
+        ext_def = _DIELECTRICS.get(str(obj.get("ext_ior_material", "")).lower(), 1.0)
+        int_def = _DIELECTRICS.get(str(obj.get("int_ior_material", "")).lower(), 1.5046)
+        scalars[1], _ = _number(obj.get("ext_ior"), ext_def)
+        scalars[2], _ = _number(obj.get("int_ior"), int_def)
+        ruf = obj.get("roughness", obj.get("alpha"))
+        scalars[0], _ = _number(ruf, 0.0) if (ruf is not None and btype != "glass") else (0.0, -1)
+        scalars[3] = 1.0 if (btype == "thindielectric" or obj.get("thin", False)) else 0.0
+        return BSDF_DIELECTRIC
+    if btype in ("conductor", "roughconductor", "mirror"):
+        if btype == "mirror":
+            ks, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
+            colors[0] = ks
+            colors[1] = np.zeros(3, np.float32)   # eta = 0
+            colors[2] = np.ones(3, np.float32)    # k = 1  -> perfect mirror
+            scalars[0] = 0.0
+            return BSDF_CONDUCTOR
+        spec = _CONDUCTORS.get(str(obj.get("material", "")).lower(), _CONDUCTORS["none"])
+        ks, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
+        eta, _ = _color(obj.get("eta"), spec[0])
+        k, _ = _color(obj.get("k"), spec[1])
+        colors[0], colors[1], colors[2] = ks, eta, k
+        ruf = obj.get("roughness", obj.get("alpha"))
+        scalars[0], _ = _number(ruf, 0.0) if ruf is not None else (0.0, -1)
+        return BSDF_CONDUCTOR
+    if btype in ("phong",):
+        c, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
+        colors[0] = c
+        scalars[0], _ = _number(obj.get("exponent"), 30.0)
+        return BSDF_PHONG
+    if btype in ("passthrough", "null"):
+        return BSDF_PASSTHROUGH
+    # Unknown → signal-pink error BSDF semantics (ErrorBSDF.cpp): bright diffuse
+    colors[0] = np.asarray([1.0, 0.0, 1.0], np.float32)
+    return BSDF_DIFFUSE
+
+
+def compile_scene(scene: Scene, width: int | None = None, height: int | None = None) -> CompiledScene:
+    film_size = scene.film.get("size", [800, 600])
+    w = int(width or film_size[0])
+    h = int(height or film_size[1])
+    sampler = scene.film.get("sampler", "independent")
+
+    camera = _compile_camera(scene, w, h)
+    technique = _compile_technique(scene)
+
+    # ---- materials (BSDFs)
+    bsdf_names = list(scene.bsdfs_order)
+    bsdf_index = {n: i for i, n in enumerate(bsdf_names)}
+    nmat = max(1, len(bsdf_names))
+    mat_colors = np.zeros((nmat, 4, 3), dtype=np.float32)
+    mat_scalars = np.zeros((nmat, 8), dtype=np.float32)
+    bsdf_types = []
+    for i, nname in enumerate(bsdf_names):
+        bsdf_types.append(_compile_bsdf(scene.bsdfs[nname], mat_colors[i], mat_scalars[i]))
+    if not bsdf_names:
+        bsdf_types.append(BSDF_DIFFUSE)
+        mat_colors[0, 0] = 0.5
+
+    # ---- shapes
+    shape_meshes: dict[str, TriMesh] = {}
+    for name in scene.shapes_order:
+        shape_meshes[name] = build_shape(scene.shapes[name], scene.resolve_path)
+
+    # ---- entities → world-space triangle soup, grouped per entity
+    ent_names = list(scene.entities_order)
+    num_entities = len(ent_names)
+    ent_index = {n: i for i, n in enumerate(ent_names)}
+    tri_chunks = []
+    ent_mat = np.zeros(max(1, num_entities), dtype=np.int32)
+    ent_flags = np.full(max(1, num_entities), 0xF, dtype=np.int32)
+    ent_tri_offset = np.zeros(max(1, num_entities), dtype=np.int32)
+    ent_tri_count = np.zeros(max(1, num_entities), dtype=np.int32)
+    ent_plane = {}   # entity id -> (origin, x_axis, y_axis, normal, area) if plane shape
+    offset = 0
+    for ei, ename in enumerate(ent_names):
+        eobj = scene.entities[ename]
+        sname = eobj.get("shape")
+        if sname not in shape_meshes:
+            raise SceneError(f"Entity '{ename}' references unknown shape '{sname}'")
+        mesh = shape_meshes[sname]
+        m4 = parse_transform(eobj.get("transform"))
+        world = mesh.transformed(m4)
+        v0 = world.vertices[world.indices[:, 0]]
+        v1 = world.vertices[world.indices[:, 1]]
+        v2 = world.vertices[world.indices[:, 2]]
+        n0 = world.normals[world.indices[:, 0]]
+        n1 = world.normals[world.indices[:, 1]]
+        n2 = world.normals[world.indices[:, 2]]
+        t0 = world.texcoords[world.indices[:, 0]]
+        t1 = world.texcoords[world.indices[:, 1]]
+        t2 = world.texcoords[world.indices[:, 2]]
+        f = world.face_count
+        tri_chunks.append((v0, v1 - v0, v2 - v0, n0, n1, n2, t0, t1, t2,
+                           np.full(f, ei, dtype=np.int32),
+                           np.arange(f, dtype=np.int32)))
+        bname = eobj.get("bsdf")
+        ent_mat[ei] = bsdf_index.get(bname, 0)
+        # visibility flags (LoaderEntity.cpp:123-131)
+        flags = 0
+        if eobj.get("camera_visible", True):
+            flags |= 0x1
+        if eobj.get("light_visible", True):
+            flags |= 0x2
+        if eobj.get("bounce_visible", True):
+            flags |= 0x4
+        if eobj.get("shadow_visible", True):
+            flags |= 0x8
+        ent_flags[ei] = flags
+        ent_tri_offset[ei] = offset
+        ent_tri_count[ei] = f
+        offset += f
+        plane = _detect_plane(world)
+        if plane is not None:
+            ent_plane[ei] = plane
+
+    if tri_chunks:
+        cat = [np.concatenate([c[k] for c in tri_chunks]) for k in range(11)]
+    else:
+        cat = [np.zeros((0, 3), np.float32)] * 6 + [np.zeros((0, 2), np.float32)] * 3 \
+            + [np.zeros((0,), np.int32)] * 2
+    (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
+     tri_uv0, tri_uv1, tri_uv2, tri_ent, tri_prim) = cat
+
+    if tri_v0.shape[0] > 0:
+        pts = np.concatenate([tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2])
+        bbox_min = pts.min(axis=0)
+        bbox_max = pts.max(axis=0)
+    else:
+        bbox_min = np.zeros(3, np.float32)
+        bbox_max = np.zeros(3, np.float32)
+
+    # ---- lights
+    lights: list[LightInfo] = []
+    light_f = []  # generic per-light float rows
+    ent_light = np.full(max(1, num_entities), -1, dtype=np.int32)
+
+    def lrow(*vals):
+        row = np.zeros(32, dtype=np.float32)
+        flat = []
+        for v in vals:
+            flat.extend(np.asarray(v, dtype=np.float32).reshape(-1))
+        row[:len(flat)] = flat
+        return row
+
+    for lname in scene.lights_order:
+        lobj = scene.lights[lname]
+        ltype = lobj.get("type", "point")
+        lid = len(lights)
+        if ltype == "point":
+            pos, _ = _color(lobj.get("position"), (0, 0, 0))
+            if "power" in lobj:
+                inten, _ = _color(lobj.get("power"), (4 * math.pi,) * 3)
+                inten = inten / (4 * math.pi)
+            else:
+                inten, _ = _color(lobj.get("intensity"), (1, 1, 1))
+            lights.append(LightInfo(LIGHT_POINT, lname, False, True, draws=0))
+            light_f.append(lrow(pos, inten))
+        elif ltype == "area":
+            ent = ent_index.get(lobj.get("entity", ""))
+            if ent is None:
+                raise SceneError(f"Area light '{lname}' references unknown entity")
+            rad, _tex = _color(lobj.get("radiance"), (1, 1, 1))
+            scale, _ = _color(lobj.get("scale"), (1, 1, 1))
+            rad = rad * scale
+            ent_light[ent] = lid
+            if ent in ent_plane and lobj.get("optimize", True):
+                origin, xa, ya, nrm, area = ent_plane[ent]
+                lights.append(LightInfo(LIGHT_AREA_PLANE, lname, False, False,
+                                        entity=ent, draws=2))
+                light_f.append(lrow(origin, xa, ya, nrm, [area], rad))
+            else:
+                lights.append(LightInfo(
+                    LIGHT_AREA_MESH, lname, False, False, entity=ent,
+                    tri_offset=int(ent_tri_offset[ent]),
+                    tri_count=int(ent_tri_count[ent]), draws=2))
+                light_f.append(lrow(rad, [float(ent_tri_offset[ent])],
+                                    [float(ent_tri_count[ent])], [float(ent)]))
+        elif ltype in ("env", "envmap", "constant"):
+            rad, tex = _color(lobj.get("radiance"), (1, 1, 1))
+            scale, _ = _color(lobj.get("scale"), (1, 1, 1))
+            tr = parse_transform(lobj.get("transform")) if "transform" in lobj else np.eye(4)
+            trans = np.linalg.inv(tr[:3, :3]).T  # as in EnvironmentLight.cpp:45
+            lights.append(LightInfo(LIGHT_ENV, lname, True, False, draws=2))
+            light_f.append(lrow(rad * scale, trans.reshape(-1)))
+        elif ltype in ("directional", "distant"):
+            d, _ = _color(lobj.get("direction"), (0, 0, 1))
+            nd = np.asarray(d) / max(np.linalg.norm(d), 1e-20)
+            irr, _ = _color(lobj.get("irradiance"), (1, 1, 1))
+            lights.append(LightInfo(LIGHT_DIRECTIONAL, lname, True, True, draws=0))
+            light_f.append(lrow(nd, irr))
+        elif ltype == "spot":
+            pos, _ = _color(lobj.get("position"), (0, 0, 0))
+            d, _ = _color(lobj.get("direction"), (0, 0, 1))
+            nd = np.asarray(d) / max(np.linalg.norm(d), 1e-20)
+            inten, _ = _color(lobj.get("intensity"), (1, 1, 1))
+            cutoff = float(lobj.get("cutoff", 30.0)) * DEG2RAD
+            falloff = float(lobj.get("falloff", 20.0)) * DEG2RAD
+            lights.append(LightInfo(LIGHT_SPOT, lname, False, True, draws=0))
+            light_f.append(lrow(pos, nd, inten,
+                                [math.cos(cutoff), math.cos(falloff)]))
+        else:
+            raise SceneError(f"Unsupported light type '{ltype}' (round-1 scope)")
+
+    light_data = (np.stack(light_f) if light_f
+                  else np.zeros((0, 32), dtype=np.float32))
+    light_type_arr = np.asarray([l.type for l in lights] or [0], dtype=np.int32)
+    light_inf_arr = np.asarray([l.infinite for l in lights] or [False], dtype=bool)
+    light_delta_arr = np.asarray([l.delta for l in lights] or [False], dtype=bool)
+
+    tables = {
+        "tri_v0": tri_v0.astype(np.float32), "tri_e1": tri_e1.astype(np.float32),
+        "tri_e2": tri_e2.astype(np.float32),
+        "tri_n0": tri_n0.astype(np.float32), "tri_n1": tri_n1.astype(np.float32),
+        "tri_n2": tri_n2.astype(np.float32),
+        "tri_uv0": tri_uv0.astype(np.float32), "tri_uv1": tri_uv1.astype(np.float32),
+        "tri_uv2": tri_uv2.astype(np.float32),
+        "tri_ent": tri_ent, "tri_prim": tri_prim,
+        "ent_mat": ent_mat, "ent_light": ent_light, "ent_flags": ent_flags,
+        "ent_tri_offset": ent_tri_offset, "ent_tri_count": ent_tri_count,
+        "mat_colors": mat_colors, "mat_scalars": mat_scalars,
+        "light_data": light_data,
+        "light_type": light_type_arr, "light_infinite": light_inf_arr,
+        "light_delta": light_delta_arr,
+    }
+
+    return CompiledScene(
+        width=w, height=h, sampler=sampler, camera=camera, technique=technique,
+        bsdf_types=bsdf_types, lights=lights, num_entities=num_entities,
+        tables=tables, bbox_min=bbox_min, bbox_max=bbox_max,
+        entity_names=ent_names, material_names=bsdf_names)
+
+
+def _detect_plane(world: TriMesh):
+    """Detect a parallelogram plane shape (TriMeshProvider.cpp:560-610 analog).
+
+    Returns (origin, x_axis, y_axis, normal, area) or None.
+    """
+    if world.face_count != 2 or world.vertices.shape[0] > 6:
+        return None
+    verts = np.unique(np.round(world.vertices[world.indices.reshape(-1)], 6), axis=0)
+    if verts.shape[0] != 4:
+        return None
+    # Use the first triangle's corner layout: grid order v0=o, v1=o+x, v2=o+x+y, v3=o+y
+    i = world.indices
+    v = world.vertices
+    # origin candidate: the vertex shared by both triangles twice
+    counts: dict[bytes, int] = {}
+    for idx in i.reshape(-1):
+        key = np.round(v[idx], 6).tobytes()
+        counts[key] = counts.get(key, 0) + 1
+    shared = [np.frombuffer(k, dtype=v.dtype) for k, c in counts.items() if c == 2]
+    single = [np.frombuffer(k, dtype=v.dtype) for k, c in counts.items() if c == 1]
+    if len(shared) != 2 or len(single) != 2:
+        return None
+    # diagonal = the two shared vertices; o and far = the two singles
+    o, far = single
+    d1, d2 = shared
+    xa = d1 - o
+    ya = d2 - o
+    if not np.allclose(o + xa + ya, far, atol=1e-4 * (1 + np.abs(far).max())):
+        xa, ya = ya, xa
+        if not np.allclose(o + xa + ya, far, atol=1e-4 * (1 + np.abs(far).max())):
+            return None
+    n = np.cross(xa, ya)
+    area = float(np.linalg.norm(n))
+    if area < 1e-12:
+        return None
+    n = n / area
+    # orient consistently with the mesh's geometric normal of face 0
+    fn = np.cross(v[i[0, 1]] - v[i[0, 0]], v[i[0, 2]] - v[i[0, 0]])
+    if np.dot(fn, n) < 0:
+        n = -n
+        xa, ya = ya, xa  # keep right-handedness w.r.t. normal
+    return (o.astype(np.float32), xa.astype(np.float32), ya.astype(np.float32),
+            n.astype(np.float32), area)
+
+
+def load_and_compile(path_or_dict, width=None, height=None) -> CompiledScene:
+    if isinstance(path_or_dict, Scene):
+        scene = path_or_dict
+    elif isinstance(path_or_dict, dict):
+        from ignis_tpu.scene.parser import load_scene_dict
+        scene = load_scene_dict(path_or_dict)
+    elif isinstance(path_or_dict, str) and path_or_dict.lstrip().startswith("{"):
+        scene = load_scene_string(path_or_dict)
+    else:
+        scene = load_scene_file(path_or_dict)
+    return compile_scene(scene, width, height)
