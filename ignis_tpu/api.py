@@ -21,12 +21,36 @@ from ignis_tpu.scene.compile import CompiledScene, load_and_compile
 
 _DEFAULT_TILE = 1 << 16
 
+# Renderer programs are large (bounce loop x material/light unions); first
+# compiles run 1-4 minutes on TPU.  The persistent cache makes every
+# subsequent process start instant for the same scene shape.
+import os as _os
+jax.config.update("jax_compilation_cache_dir",
+                  _os.environ.get("IGNIS_TPU_CACHE",
+                                  _os.path.expanduser("~/.cache/ignis_tpu_xla")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Wave-lockstep BVH traversal is latency-bound on TPU (one node visit per
+# while_loop step); below this soup size the single fused brute-force
+# Möller-Trumbore sweep is measured ~50x faster per step.  See ops/bvh.py.
+_BVH_MIN_TRIS = 8192
+
 
 class Runtime:
     def __init__(self, source, width=None, height=None, seed=0,
-                 tile_size=_DEFAULT_TILE):
+                 tile_size=_DEFAULT_TILE, use_bvh=None):
         self.scene: CompiledScene = load_and_compile(source, width, height)
-        self.tables = {k: jnp.asarray(v) for k, v in self.scene.tables.items()}
+        tables = self.scene.tables
+        ntris = tables["tri_v0"].shape[0]
+        if use_bvh is None:
+            use_bvh = ntris > _BVH_MIN_TRIS
+        if use_bvh and ntris > 0:
+            from ignis_tpu.ops.bvh import build_bvh, bvh_tables
+            bvh = build_bvh(np.asarray(tables["tri_v0"]),
+                            np.asarray(tables["tri_e1"]),
+                            np.asarray(tables["tri_e2"]))
+            tables = bvh_tables(bvh, tables)
+        self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.seed = int(seed)
         self.iteration = 0
         self.frame = 0
@@ -96,10 +120,14 @@ class Runtime:
         """
         rays = list(rays)
         n = len(rays)
-        org = np.zeros((n, 3), np.float32)
-        dirs = np.zeros((n, 3), np.float32)
-        tmin = np.zeros((n,), np.float32)
-        tmax = np.full((n,), np.float32(3.4028235e38))
+        # pad to a power of two so recompiles only happen per size bucket
+        npad = max(8, 1 << (n - 1).bit_length())
+        org = np.zeros((npad, 3), np.float32)
+        dirs = np.zeros((npad, 3), np.float32)
+        dirs[:, 2] = 1.0
+        tmin = np.zeros((npad,), np.float32)
+        tmax = np.zeros((npad,), np.float32)  # padded rays: tmax=0 = dead
+        tmax[:n] = np.float32(3.4028235e38)
         for i, r in enumerate(rays):
             org[i] = r[0]
             dirs[i] = r[1]
@@ -108,8 +136,8 @@ class Runtime:
             if len(r) > 3:
                 tmax[i] = r[3]
 
-        x = jnp.arange(n, dtype=jnp.int32)
-        y = jnp.zeros((n,), jnp.int32)
+        x = jnp.arange(npad, dtype=jnp.int32)
+        y = jnp.zeros((npad,), jnp.int32)
         total = np.zeros((n, 3), np.float32)
         for it in range(spp):
             color = _trace_rays_jit(self.scene, self.tables, x, y,
@@ -117,7 +145,7 @@ class Runtime:
                                     jnp.uint32(self.frame), self.seed,
                                     jnp.asarray(org), jnp.asarray(dirs),
                                     jnp.asarray(tmin), jnp.asarray(tmax))
-            total += np.asarray(color)
+            total += np.asarray(color)[:n]
         return total / max(1, spp)
 
 

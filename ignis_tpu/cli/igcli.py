@@ -1,0 +1,80 @@
+"""igcli-equivalent batch renderer (src/frontend/cli/main.cpp).
+
+Renders a scene for --spp samples or --timeout seconds, reports min/med/max
+Msamples/s per iteration (the reference's benchmark metric,
+cli/main.cpp:172-179), and writes an EXR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="igcli-tpu", description=__doc__)
+    p.add_argument("scene", help="scene JSON/glTF file")
+    p.add_argument("-o", "--output", default="output.exr")
+    p.add_argument("--spp", type=int, default=None,
+                   help="samples per pixel budget")
+    p.add_argument("--spi", type=int, default=1, help="samples per iteration")
+    p.add_argument("-t", "--timeout", type=float, default=None,
+                   help="time budget in seconds")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--tonemap", default=None,
+                   choices=["none", "reinhard", "modified", "aces",
+                            "uncharted2"],
+                   help="also write a tonemapped PNG-style EXR")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ignis_tpu.api import Runtime
+
+    rt = Runtime(args.scene, width=args.width, height=args.height,
+                 seed=args.seed, use_bvh=(not args.no_bvh) or None)
+    spp = args.spp if args.spp is not None else (8 if args.timeout is None else 1 << 30)
+    deadline = time.perf_counter() + args.timeout if args.timeout else None
+
+    pixels = rt.width * rt.height
+    samples_sec = []
+    done = 0
+    while done < spp:
+        spi = min(args.spi, spp - done)
+        t0 = time.perf_counter()
+        rt.step(spi=spi)
+        dt = time.perf_counter() - t0
+        samples_sec.append(pixels * spi / dt)
+        done += spi
+        if deadline is not None and time.perf_counter() > deadline:
+            break
+
+    img = rt.currentFrame()
+    from ignis_tpu.utils.exr import write_exr
+    write_exr(args.output, img)
+
+    if args.tonemap:
+        from ignis_tpu.render.tonemap import tonemap
+        method = {"none": 0, "reinhard": 1, "modified": 2, "aces": 3,
+                  "uncharted2": 4}[args.tonemap]
+        ldr = np.asarray(tonemap(img, method=method))
+        write_exr(args.output.rsplit(".", 1)[0] + "_tonemapped.exr", ldr)
+
+    ss = np.asarray(sorted(samples_sec)) / 1e6
+    if len(ss):
+        # skip the first (compile) iteration for med like the reference warm-up
+        print(f"Samples per second: {ss.min():.3f}/"
+              f"{np.median(ss):.3f}/{ss.max():.3f} (min/med/max) Msamples/s")
+    print(f"Done: {done} spp -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -80,6 +80,9 @@ def _sample_directional(data, from_point, scene_radius):
 
 
 def _sample_spot(data, from_point):
+    """make_spot_light.sample_direct (light/spot.art:8-41): area-measure pdf 1
+    inside the cone (0 outside), light-side cosine fed through as_solid, and
+    smoothstep falloff between cutoff and falloff cosines."""
     pos = data[:, 0:3]
     ldir = data[:, 3:6]
     intensity = data[:, 6:9]
@@ -88,15 +91,18 @@ def _sample_spot(data, from_point):
     dir_ = pos - from_point
     dist = length(dir_)
     d = dir_ * safe_div(1.0, dist)[..., None]
-    cos_a = dot(-d, ldir)
-    # linear falloff between cutoff and falloff angles (light/spot.art)
-    t = safe_div(cos_a - cos_cutoff, cos_falloff - cos_cutoff)
-    fall = jnp.where(cos_a >= cos_falloff, 1.0,
-                     jnp.where(cos_a <= cos_cutoff, 0.0, jnp.clip(t, 0.0, 1.0)))
-    return dict(dir=d, dist=dist, cos=jnp.ones_like(dist), pos=pos,
+    cos_a = dot(-d, ldir)   # angle of (light → surface) vs spot axis
+    blend = cos_falloff - cos_cutoff
+    t = jnp.clip(safe_div(cos_a - cos_cutoff, blend), 0.0, 1.0)
+    smooth = t * t * (3.0 - 2.0 * t)
+    fall = jnp.where(blend <= FLT_EPS,
+                     jnp.where(cos_a <= cos_cutoff, 0.0, 1.0), smooth)
+    valid = cos_a > cos_cutoff
+    pdf_value = jnp.where(valid, 1.0, 0.0)
+    return dict(dir=d, dist=dist, cos=cos_a, pos=pos,
                 intensity=intensity * fall[..., None],
-                pdf_value=jnp.ones_like(dist),
-                pdf_solid=dist * dist)
+                pdf_value=pdf_value,
+                pdf_solid=pdf_value * safe_div(dist * dist, jnp.abs(cos_a)))
 
 
 def _compute_sq(origin, ex, ey, nrm, width, height, from_point):

@@ -124,17 +124,18 @@ def _mt_block(org, direction, tmin, tmax, v0, e1, e2):
     te1 = e1[None, :, :]
     te2 = e2[None, :, :]
 
-    # Arrangement of intersect_ray_tri_mt_gen (traversal/intersection.art:70-101):
-    # c = v0-org, r = cross(dir, c), n = cross(e1, e2), det = dot(n, dir),
-    # u = dot(r, e2)/det, v = dot(r, e1)/det, t = dot(c, n)/det,
-    # inclusive tolerance -flt_eps on barycentrics, t in [tmin, tmax].
+    # Same math as intersect_ray_tri_mt_gen (traversal/intersection.art:70-101)
+    # but our edges are standard (e1 = v1-v0, e2 = v2-v0) while the reference
+    # stores madmann91-style (e1 = p0-p1, e2 = p2-p0), so the barycentric
+    # projections pick up a sign: u = -dot(r, e2)/det, v = +dot(r, e1)/det.
+    # (u, v) weight vertices 1 and 2 — the lerp2 convention both use.
     tol = jnp.float32(-1.1920928955078125e-07)
     tn = jnp.cross(te1, te2)
     c = tv0 - o
     r = jnp.cross(d, c)
     det = jnp.sum(tn * d, axis=-1)
     inv_det = jnp.where(det == 0.0, 0.0, 1.0 / jnp.where(det == 0.0, 1.0, det))
-    u = jnp.sum(r * te2, axis=-1) * inv_det
+    u = -jnp.sum(r * te2, axis=-1) * inv_det
     v = jnp.sum(r * te1, axis=-1) * inv_det
     w = 1.0 - u - v
     t = jnp.sum(c * tn, axis=-1) * inv_det

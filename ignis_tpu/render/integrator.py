@@ -51,6 +51,25 @@ def _tri_mask_for(tables, flag_bit):
     return (ent_flags[tables["tri_ent"]] & flag_bit) != 0
 
 
+def _traverse_closest(tables, org, d, tmin, tmax, tri_mask):
+    """Closest-hit: BVH when node tables are attached, else brute force."""
+    if "bvh_node_min" in tables:
+        from ignis_tpu.ops.bvh import bvh_closest
+        return bvh_closest(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    return intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
+                             tables["tri_e1"], tables["tri_e2"],
+                             tri_mask=tri_mask)
+
+
+def _traverse_any(tables, org, d, tmin, tmax, tri_mask):
+    if "bvh_node_min" in tables:
+        from ignis_tpu.ops.bvh import bvh_any
+        return bvh_any(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    return intersect_any(org, d, tmin, tmax, tables["tri_v0"],
+                         tables["tri_e1"], tables["tri_e2"],
+                         tri_mask=tri_mask)
+
+
 def _surface_at(tables, prim, org, direction, t, u, v):
     """SurfaceElement for hit lanes (shapes/trimesh.art:14-40)."""
     v0 = tables["tri_v0"][prim]
@@ -83,11 +102,18 @@ def _surface_at(tables, prim, org, direction, t, u, v):
 
 
 def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
-               org=None, direction=None, tmin=None, tmax=None):
+               org=None, direction=None, tmin=None, tmax=None,
+               differentiable=False):
     """Trace one wave of rays to completion; returns per-lane radiance (N, 3).
 
     If org/direction are given, acts as the list emitter (igtrace semantics,
     driver/emitter.art:18-31): no pixel-sampler draws, rays used as provided.
+
+    differentiable=True swaps the `while_loop` for a fixed-length `lax.scan`
+    over max_depth bounces so reverse-mode AD works (while_loop has no
+    transpose rule); the sampling decisions and RR probabilities are detached,
+    matching path-replay gradient semantics (radiance grads w.r.t.
+    BSDF/light/texture parameter tables).
     """
     tech = scene.technique
     n = x.shape[0]
@@ -139,9 +165,8 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         mask_bounce = _tri_mask_for(tables, RAY_BOUNCE)
         is_first = state["bounce_index"] == 0
         tri_mask = jnp.where(is_first, mask_cam, mask_bounce)
-        t, u, v, prim = intersect_closest(org, d, state["tmin"], state["tmax"],
-                                          tables["tri_v0"], tables["tri_e1"],
-                                          tables["tri_e2"], tri_mask=tri_mask)
+        t, u, v, prim = _traverse_closest(tables, org, d, state["tmin"],
+                                          state["tmax"], tri_mask)
         hit = alive & (prim >= 0)
         miss = alive & ~hit
 
@@ -222,6 +247,9 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         rr_base = jnp.max(new_contrib * (eta * eta)[..., None], axis=-1)
         rr_prob = jnp.where(depth + 1 > tech.min_depth,
                             jnp.clip(rr_base, 0.05, 0.95), 1.0)
+        # RR probability is a sampling decision, not part of the integrand:
+        # detach so path-replay gradients stay unbiased.
+        rr_prob = jax.lax.stop_gradient(rr_prob)
         u_rr, counter_rr = rng.next_f32(seed, counter)
         rr_draw = can_bounce & b_valid
         counter = jnp.where(rr_draw, counter_rr, counter)
@@ -233,10 +261,9 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         # ---- trace shadow rays & splat (mapping on_shadow_miss)
         if do_nee:
             smask = _tri_mask_for(tables, RAY_SHADOW)
-            occ = intersect_any(s_org, s_dir,
+            occ = _traverse_any(tables, s_org, s_dir,
                                 jnp.full((n,), OFFSET, jnp.float32),
-                                s_tmax, tables["tri_v0"], tables["tri_e1"],
-                                tables["tri_e2"], tri_mask=smask)
+                                s_tmax, smask)
             accum = accum + jnp.where((shadow_valid & ~occ)[..., None],
                                       shadow_contrib, 0.0)
 
@@ -259,7 +286,13 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
     def cond(state):
         return jnp.any(state["alive"])
 
-    state = jax.lax.while_loop(cond, bounce_body, state)
+    if differentiable:
+        def scan_body(s, _):
+            return bounce_body(s), None
+        state, _ = jax.lax.scan(scan_body, state, None,
+                                length=min(tech.max_depth, 64))
+    else:
+        state = jax.lax.while_loop(cond, bounce_body, state)
     return state["accum"]
 
 

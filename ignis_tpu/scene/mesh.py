@@ -285,7 +285,9 @@ def _extract_vertex_attrs(arr: np.ndarray, cols: dict):
         return None
     vertices = get(('x', 'y', 'z'))
     normals = get(('nx', 'ny', 'nz'))
-    texcoords = get(('u', 'v')) or get(('s', 't'))
+    texcoords = get(('u', 'v'))
+    if texcoords is None:
+        texcoords = get(('s', 't'))
     return vertices, normals, texcoords
 
 

@@ -333,7 +333,9 @@ def build_shape(obj: dict, resolve_path) -> TriMesh:
         mesh.flip_normals()
     if obj.get("face_normals", False):
         mesh.apply_face_normals()
-    mesh.remove_zero_area_triangles()
+    # NOTE: the reference keeps zero-area triangles (removeZeroAreaTriangles
+    # is commented out in ObjFile.cpp:187 / PlyFile.cpp:361); degenerate tris
+    # never intersect, so we keep them too for table-layout parity.
     mesh.ensure_normals()
     mesh.ensure_texcoords()
     return mesh
