@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ignis_tpu.render.integrator import trace_wave
+from ignis_tpu.render.integrator import render_wavefront, trace_wave
 from ignis_tpu.scene.compile import CompiledScene, load_and_compile
 
 _DEFAULT_TILE = 1 << 16
@@ -61,6 +61,14 @@ class Runtime:
         self._render_tile = jax.jit(
             partial(trace_wave, self.scene),
             static_argnames=())
+        # The regenerating wavefront needs camera and bounce visibility to
+        # agree per entity (mixed ray types share one wave); else fall back
+        # to the per-sample wave driver.
+        ent_flags = np.asarray(self.scene.tables["ent_flags"])
+        self._wavefront_ok = bool(
+            (((ent_flags & 0x1) != 0) == ((ent_flags & 0x4) != 0)).all())
+        self._render_wavefront = jax.jit(
+            partial(render_wavefront, self.scene), static_argnames=("capacity",))
 
     # ------------------------------------------------------------------ info
     @property
@@ -84,20 +92,34 @@ class Runtime:
         """Render `spi` samples/pixel for this iteration and accumulate."""
         w, h = self.scene.width, self.scene.height
         npix = w * h
-        tile = min(self.tile_size, npix)
-        for sample in range(spi):
-            for start in range(0, npix, tile):
-                count = min(tile, npix - start)
-                idx = np.arange(start, start + tile, dtype=np.int32)
-                idx = np.minimum(idx, npix - 1)  # pad tail with repeated pixel
-                x = jnp.asarray(idx % w)
-                y = jnp.asarray(idx // w)
-                color = self._render_tile(
-                    self.tables, x, y,
-                    jnp.uint32(sample), jnp.uint32(self.iteration),
-                    jnp.uint32(self.frame), self.seed)
-                color_np = np.asarray(color)[:count]
-                self._accum[start:start + count] += color_np
+        if self._wavefront_ok:
+            total = npix * spi
+            idx = np.arange(total, dtype=np.int64)
+            pix = (idx % npix).astype(np.int32)
+            work_x = jnp.asarray(pix % w)
+            work_y = jnp.asarray(pix // w)
+            work_s = jnp.asarray((idx // npix).astype(np.uint32))
+            capacity = int(min(self.tile_size, max(8192, 1 << int(np.ceil(
+                np.log2(max(total, 1)))))))
+            fb = self._render_wavefront(
+                self.tables, work_x, work_y, work_s,
+                jnp.uint32(self.iteration), jnp.uint32(self.frame),
+                self.seed, capacity=capacity)
+            self._accum += np.asarray(fb)
+        else:
+            tile = min(self.tile_size, npix)
+            for sample in range(spi):
+                for start in range(0, npix, tile):
+                    count = min(tile, npix - start)
+                    idx = np.arange(start, start + tile, dtype=np.int32)
+                    idx = np.minimum(idx, npix - 1)  # pad tail
+                    x = jnp.asarray(idx % w)
+                    y = jnp.asarray(idx // w)
+                    color = self._render_tile(
+                        self.tables, x, y,
+                        jnp.uint32(sample), jnp.uint32(self.iteration),
+                        jnp.uint32(self.frame), self.seed)
+                    self._accum[start:start + count] += np.asarray(color)[:count]
         self._samples += spi
         self.iteration += 1
 

@@ -30,7 +30,8 @@ from ignis_tpu.core.vec import (
 from ignis_tpu.core.warp import cosine_hemisphere_pdf, sample_cosine_hemisphere
 from ignis_tpu.scene.compile import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_PASSTHROUGH,
-    BSDF_PHONG,
+    BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
+    BSDF_ROUGH_PLASTIC,
 )
 
 # rnd draws consumed by each type's sample() — must match the artic call order
@@ -40,6 +41,10 @@ _SAMPLE_DRAWS = {
     BSDF_CONDUCTOR: 0,
     BSDF_PHONG: 2,
     BSDF_PASSTHROUGH: 0,
+    BSDF_ROUGH_CONDUCTOR: 2,    # VNDF sample
+    BSDF_ROUGH_DIELECTRIC: 3,   # VNDF sample + fresnel pick
+    BSDF_PLASTIC: 3,            # mix pick + (diffuse 2 | smooth spec 0); max
+    BSDF_ROUGH_PLASTIC: 3,      # mix pick + 2 either branch
 }
 
 _SPECULAR = {BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_PASSTHROUGH}
@@ -56,6 +61,25 @@ def bsdf_specular_mask(bsdf_types, mat_type):
         if t in _SPECULAR:
             mask = mask | (mat_type == t)
     return mask
+
+
+def material_params(scene, tables, surf):
+    """Gather per-lane material colors/scalars, resolving textured slots
+    (ShadingTree embed-vs-texture decision evaluated at trace time)."""
+    mat_id = surf["mat_id"]
+    colors = tables["mat_colors"][mat_id]    # (N, 4, 3)
+    scalars = tables["mat_scalars"][mat_id]  # (N, 8)
+    if scene.textures:
+        import numpy as _np
+        from ignis_tpu.texture import resolve_color
+        mat_tex_np = _np.asarray(scene.tables["mat_tex"])
+        tex_ids = tables["mat_tex"][mat_id]  # (N, 4)
+        for slot in range(mat_tex_np.shape[1]):
+            if (mat_tex_np[:, slot] >= 0).any():
+                resolved = resolve_color(scene, tables, colors[:, slot],
+                                         tex_ids[:, slot], surf["tex"])
+                colors = colors.at[:, slot].set(resolved)
+    return colors, scalars
 
 
 def _mat_gather(tables, mat_id):
@@ -230,16 +254,286 @@ def _phong_sample(colors, scalars, surf, u1, u2, out_dir):
     return gdir, pdf, weight, jnp.ones_like(pdf), valid
 
 
+# ------------------------------------------------------- rough microfacet
+
+def _mf_params(scalars):
+    return scalars[:, 0], scalars[:, 4]  # alpha_u, alpha_v
+
+
+def _rough_conductor_eval(colors, scalars, surf, in_dir, out_dir):
+    """make_rough_base_conductor_bsdf.eval (conductor.art:52-64), kd=0."""
+    from ignis_tpu.bsdf import microfacet as mf
+    ks, eta, kap = colors[:, 0], colors[:, 1], colors[:, 2]
+    au, av = _mf_params(scalars)
+    t, b, n = surf["t"], surf["b"], surf["n"]
+    cos_o = absolute_cos(out_dir, n)
+    cos_i = absolute_cos(in_dir, n)
+    H = mf.halfway(in_dir, out_dir)
+    D = mf.ndf_ggx(t, b, n, H, au, av)
+    G = (mf.g1_smith(t, b, n, in_dir, au, av)
+         * mf.g1_smith(t, b, n, out_dir, au, av))
+    cos_h = absolute_cos(out_dir, H)
+    F = jnp.stack([_conductor_factor(eta[:, c], kap[:, c], cos_h)
+                   for c in range(3)], axis=-1)
+    val = ks * F * safe_div(D * G, 4.0 * cos_o)[..., None]
+    bad = (cos_o <= FLT_EPS) | (cos_i <= FLT_EPS)
+    return jnp.where(bad[..., None], 0.0, val)
+
+
+def _rough_conductor_pdf(colors, scalars, surf, in_dir, out_dir):
+    from ignis_tpu.bsdf import microfacet as mf
+    au, av = _mf_params(scalars)
+    t, b, n = surf["t"], surf["b"], surf["n"]
+    H = mf.halfway(in_dir, out_dir)
+    cos_h_o = absolute_cos(out_dir, H)
+    return (mf.pdf_vndf_ggx(t, b, n, out_dir, H, au, av)
+            * mf.reflective_jacobian(cos_h_o))
+
+
+def _rough_conductor_sample(colors, scalars, surf, u0, u1, out_dir):
+    from ignis_tpu.bsdf import microfacet as mf
+    au, av = _mf_params(scalars)
+    t, b, n = surf["t"], surf["b"], surf["n"]
+    cos_o = absolute_cos(out_dir, n)
+    oH = mf.sample_vndf_ggx(u0, u1, t, b, n, out_dir, au, av)
+    H = jnp.where(jnp.signbit(dot(oH, out_dir))[..., None], -oH, oH)
+    in_dir = reflect(out_dir, H)
+    cos_i = absolute_cos(in_dir, n)
+    cos_h_o = absolute_cos(out_dir, H)
+    spdf = mf.pdf_vndf_ggx(t, b, n, out_dir, H, au, av)
+    pdf = spdf * safe_div(1.0, 4.0 * cos_h_o)
+    color = _rough_conductor_eval(colors, scalars, surf, in_dir, out_dir)
+    weight = color * safe_div(1.0, pdf)[..., None]
+    valid = (cos_o > FLT_EPS) & (cos_i > FLT_EPS) & (pdf > FLT_EPS)
+    return in_dir, pdf, weight, jnp.ones_like(pdf), valid
+
+
+def _rough_dielectric_terms(colors, scalars, surf, in_dir, out_dir):
+    """Shared eval/pdf pieces (dielectric.art:70-136)."""
+    from ignis_tpu.bsdf import microfacet as mf
+    ks, kt = colors[:, 0], colors[:, 1]
+    n1, n2 = scalars[:, 1], scalars[:, 2]
+    au, av = _mf_params(scalars)
+    t, b, n = surf["t"], surf["b"], surf["n"]
+    eta = jnp.where(surf["is_entering"], n1 / n2, n2 / n1)
+    cos_i = dot(n, in_dir)
+    cos_o = dot(n, out_dir)
+    is_trans = jnp.signbit(cos_i * cos_o)
+    H = jnp.where(is_trans[..., None],
+                  mf.halfway_refractive(in_dir, out_dir, eta),
+                  mf.halfway(in_dir, out_dir))
+    cos_h_i = dot(H, in_dir)
+    cos_h_o = dot(H, out_dir)
+    fterm = _fresnel_dielectric(eta, jnp.abs(cos_h_o))
+    D = mf.ndf_ggx(t, b, n, H, au, av)
+    G = (mf.g1_smith(t, b, n, in_dir, au, av)
+         * mf.g1_smith(t, b, n, out_dir, au, av))
+    bad = (jnp.abs(cos_i * cos_o) <= 1e-5) | (jnp.abs(cos_h_i * cos_h_o) <= 1e-5)
+    return dict(ks=ks, kt=kt, eta=eta, cos_i=cos_i, cos_o=cos_o,
+                is_trans=is_trans, H=H, cos_h_i=cos_h_i, cos_h_o=cos_h_o,
+                fterm=fterm, D=D, G=G, bad=bad, t=t, b=b, n=n, au=au, av=av)
+
+
+def _rough_dielectric_eval(colors, scalars, surf, in_dir, out_dir):
+    from ignis_tpu.bsdf import microfacet as mf
+    q = _rough_dielectric_terms(colors, scalars, surf, in_dir, out_dir)
+    refl = q["ks"] * (q["fterm"] * q["D"] * q["G"]
+                      * jnp.abs(mf.reflective_jacobian(q["cos_o"])))[..., None]
+    jac = mf.refractive_jacobian(q["eta"], q["cos_h_i"], q["cos_h_o"])
+    norm = jnp.abs(safe_div(q["cos_h_o"] * jac, q["cos_o"]))
+    trans = q["kt"] * ((1.0 - q["fterm"]) * q["D"] * q["G"] * norm)[..., None]
+    val = jnp.where(q["is_trans"][..., None], trans, refl)
+    return jnp.where(q["bad"][..., None], 0.0, val)
+
+
+def _rough_dielectric_pdf(colors, scalars, surf, in_dir, out_dir):
+    from ignis_tpu.bsdf import microfacet as mf
+    q = _rough_dielectric_terms(colors, scalars, surf, in_dir, out_dir)
+    mpdf = mf.pdf_vndf_ggx(q["t"], q["b"], q["n"], out_dir, q["H"],
+                           q["au"], q["av"])
+    p_refl = q["fterm"] * mpdf * jnp.abs(mf.reflective_jacobian(q["cos_h_o"]))
+    p_trans = ((1.0 - q["fterm"]) * mpdf
+               * jnp.abs(mf.refractive_jacobian(q["eta"], q["cos_h_i"],
+                                                q["cos_h_o"])))
+    pdf_eps = jnp.float32(1e-5)
+    val = jnp.where(q["is_trans"], p_trans, p_refl)
+    return jnp.where(q["bad"] | (mpdf <= pdf_eps), 0.0, val)
+
+
+def _rough_dielectric_sample(colors, scalars, surf, u0, u1, u2, out_dir,
+                             adjoint=False):
+    """dielectric.art:138-176: VNDF half-vector (u0,u1) + fresnel pick (u2)."""
+    from ignis_tpu.bsdf import microfacet as mf
+    n1, n2 = scalars[:, 1], scalars[:, 2]
+    au, av = _mf_params(scalars)
+    t, b, n = surf["t"], surf["b"], surf["n"]
+    eta = jnp.where(surf["is_entering"], n1 / n2, n2 / n1)
+    cos_o = dot(n, out_dir)
+
+    oH = mf.sample_vndf_ggx(u0, u1, t, b, n, out_dir, au, av)
+    H = jnp.where(jnp.signbit(dot(oH, out_dir))[..., None], -oH, oH)
+    cos_h_o = dot(H, out_dir)
+    spdf = mf.pdf_vndf_ggx(t, b, n, out_dir, H, au, av)
+
+    cos_t, factor, _tot = _fresnel(eta, cos_h_o)
+    refr = u2 > factor
+    d_refr = _normalize(refract(out_dir, H, eta, cos_h_o, cos_t))
+    d_refl = _normalize(reflect(out_dir, H))
+    in_dir = jnp.where(refr[..., None], d_refr, d_refl)
+    jac_t = mf.refractive_jacobian(eta, dot(H, in_dir), cos_h_o)
+    jac_r = mf.reflective_jacobian(cos_h_o)
+    sel_pdf = jnp.where(refr, (1.0 - factor) * jnp.abs(jac_t),
+                        factor * jnp.abs(jac_r))
+    cos_i = dot(n, in_dir)
+    f_pdf = spdf * sel_pdf
+    is_trans = jnp.signbit(cos_i * cos_o)
+    adj = jnp.where(is_trans & jnp.bool_(adjoint), 1.0 / (eta * eta), 1.0)
+    ev = _rough_dielectric_eval(colors, scalars, surf, in_dir, out_dir)
+    weight = ev * safe_div(adj, f_pdf)[..., None]
+    eta_out = jnp.where(is_trans, eta, 1.0)
+    valid = ((jnp.abs(cos_o) > 1e-5) & (spdf > 1e-5) & (f_pdf > 0)
+             & (jnp.abs(cos_h_o) > 1e-5))
+    return in_dir, f_pdf, weight, eta_out, valid
+
+
+# ------------------------------------------------------------------ plastic
+
+def _fresnel_diffuse_factor(eta):
+    """core/fresnel.art:42-64 (two fits by IOR regime)."""
+    low = -1.4399 * eta * eta + 0.7099 * eta + 0.6681 + 0.0636 / eta
+    ie = 1.0 / eta
+    hi = (0.919317 - 3.4793 * ie + 6.75335 * ie ** 2 - 7.80989 * ie ** 3
+          + 4.98554 * ie ** 4 - 1.36881 * ie ** 5)
+    return jnp.where(eta < 1.0, low, hi)
+
+
+def _plastic_parts(colors, scalars, surf, out_dir):
+    kd, ks = colors[:, 0], colors[:, 1]
+    n1, n2 = scalars[:, 1], scalars[:, 2]
+    eta = n1 / n2
+    fdr = _fresnel_diffuse_factor(eta)
+    n = surf["n"]
+    cos_o = absolute_cos(out_dir, n)
+    k = _fresnel_dielectric(eta, cos_o)   # mix factor (plastic.art:34-38)
+    return kd, ks, eta, fdr, k
+
+
+def _plastic_scatter(eta, fdr, cos_i):
+    fi = _fresnel_dielectric(eta, cos_i)
+    return (1.0 - fi) * eta * eta / (1.0 - fdr)
+
+
+def _plastic_eval(colors, scalars, surf, in_dir, out_dir, rough):
+    kd, ks, eta, fdr, k = _plastic_parts(colors, scalars, surf, out_dir)
+    n = surf["n"]
+    cos_i = absolute_cos(in_dir, n)
+    diff = mulf(kd, cos_i * INV_PI) * _plastic_scatter(eta, fdr, cos_i)[..., None]
+    if rough:
+        spec_colors = jnp.stack([ks, jnp.zeros_like(ks), jnp.ones_like(ks),
+                                 jnp.zeros_like(ks)], axis=1)
+        spec = _rough_conductor_eval(spec_colors, scalars, surf, in_dir, out_dir)
+    else:
+        spec = jnp.zeros_like(diff)
+    return diff * (1.0 - k)[..., None] + spec * k[..., None]
+
+
+def _plastic_pdf(colors, scalars, surf, in_dir, out_dir, rough):
+    kd, ks, eta, fdr, k = _plastic_parts(colors, scalars, surf, out_dir)
+    dp = cosine_hemisphere_pdf(positive_cos(in_dir, surf["n"]))
+    if rough:
+        sp = _rough_conductor_pdf(colors, scalars, surf, in_dir, out_dir)
+    else:
+        sp = jnp.zeros_like(dp)
+    return dp * (1.0 - k) + sp * k
+
+
+def _plastic_sample(colors, scalars, surf, u0, u1, u2, out_dir, rough):
+    """make_variadic_mix_bsdf.sample (mix.art:32-69): u0 picks the lobe.
+
+    Diffuse branch consumes u1,u2; rough spec branch consumes u1,u2 (VNDF);
+    smooth spec branch consumes none (lane draw counts differ → returned).
+    """
+    kd, ks, eta, fdr, k = _plastic_parts(colors, scalars, surf, out_dir)
+    n = surf["n"]
+    pick_diffuse = u0 < (1.0 - k)
+
+    # --- diffuse branch (scattering-scaled lambert)
+    local, dpdf = sample_cosine_hemisphere(u1, u2)
+    ddir = to_world(local, surf["t"], surf["b"], n)
+    cos_i_d = absolute_cos(ddir, n)
+    dcol = kd * _plastic_scatter(eta, fdr, cos_i_d)[..., None]
+
+    if rough:
+        spec_colors = jnp.stack([ks, jnp.zeros_like(ks), jnp.ones_like(ks),
+                                 jnp.zeros_like(ks)], axis=1)
+        sdir, spdf, sweight, _e, svalid = _rough_conductor_sample(
+            spec_colors, scalars, surf, u1, u2, out_dir)
+        # diffuse branch: combine with non-specular mat2 (mix.art:40-42)
+        p_d = dpdf * (1.0 - k) + _rough_conductor_pdf(
+            spec_colors, scalars, surf, ddir, out_dir) * k
+        c_d = (dcol * dpdf[..., None] * (1.0 - k)[..., None]
+               + _rough_conductor_eval(spec_colors, scalars, surf, ddir,
+                                       out_dir) * k[..., None])
+        w_d = c_d * safe_div(1.0, p_d)[..., None]
+        # spec branch: combine with diffuse
+        diff_pdf_s = cosine_hemisphere_pdf(positive_cos(sdir, n))
+        cos_i_s = absolute_cos(sdir, n)
+        diff_eval_s = (kd * _plastic_scatter(eta, fdr, cos_i_s)[..., None]
+                       * (cos_i_s * INV_PI)[..., None])
+        p_s = spdf * k + diff_pdf_s * (1.0 - k)
+        c_s = (sweight * spdf[..., None] * k[..., None]
+               + diff_eval_s * (1.0 - k)[..., None])
+        w_s = c_s * safe_div(1.0, p_s)[..., None]
+        in_dir = jnp.where(pick_diffuse[..., None], ddir, sdir)
+        pdf = jnp.where(pick_diffuse, p_d, dpdf * 0 + p_s)
+        weight = jnp.where(pick_diffuse[..., None], w_d, w_s)
+        valid = jnp.where(pick_diffuse, dpdf > 0, svalid & (p_s > 0))
+        draws = jnp.full(u0.shape, 3, jnp.uint32)
+    else:
+        # smooth spec = perfect mirror scaled by ks (mat2 IS specular →
+        # diffuse branch returns its sample untouched, mix.art:37-38)
+        sdir = reflect(out_dir, n)
+        s_pdf = jnp.ones_like(u0)
+        # spec branch combines with diffuse pdf/eval at t = 1-k
+        diff_pdf_s = cosine_hemisphere_pdf(positive_cos(sdir, n))
+        cos_i_s = absolute_cos(sdir, n)
+        diff_eval_s = (kd * _plastic_scatter(eta, fdr, cos_i_s)[..., None]
+                       * (cos_i_s * INV_PI)[..., None])
+        p_s = s_pdf * k + diff_pdf_s * (1.0 - k)
+        c_s = ks * s_pdf[..., None] * k[..., None] + diff_eval_s * (1.0 - k)[..., None]
+        w_s = c_s * safe_div(1.0, p_s)[..., None]
+        in_dir = jnp.where(pick_diffuse[..., None], ddir, sdir)
+        pdf = jnp.where(pick_diffuse, dpdf, p_s)
+        weight = jnp.where(pick_diffuse[..., None], dcol, w_s)
+        valid = jnp.where(pick_diffuse, dpdf > 0, p_s > 0)
+        draws = jnp.where(pick_diffuse, jnp.uint32(3), jnp.uint32(1))
+    return in_dir, pdf, weight, jnp.ones_like(pdf), valid, draws
+
+
 # ------------------------------------------------------------------- union
 
+def _params(tables, surf):
+    if "colors" in surf:
+        return surf["colors"], surf["scalars"]
+    return _mat_gather(tables, surf["mat_id"])
+
+
 def bsdf_eval(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
-    colors, scalars = _mat_gather(tables, surf["mat_id"])
+    colors, scalars = _params(tables, surf)
     out = jnp.zeros(in_dir.shape, dtype=jnp.float32)
     for t in set(bsdf_types):
         if t == BSDF_DIFFUSE:
             v = _diffuse_eval(colors, scalars, surf, in_dir, out_dir)
         elif t == BSDF_PHONG:
             v = _phong_eval(colors, scalars, surf, in_dir, out_dir)
+        elif t == BSDF_ROUGH_CONDUCTOR:
+            v = _rough_conductor_eval(colors, scalars, surf, in_dir, out_dir)
+        elif t == BSDF_ROUGH_DIELECTRIC:
+            v = _rough_dielectric_eval(colors, scalars, surf, in_dir, out_dir)
+        elif t == BSDF_PLASTIC:
+            v = _plastic_eval(colors, scalars, surf, in_dir, out_dir, False)
+        elif t == BSDF_ROUGH_PLASTIC:
+            v = _plastic_eval(colors, scalars, surf, in_dir, out_dir, True)
         else:
             continue  # specular types eval to black
         out = jnp.where((mat_type == t)[..., None], v, out)
@@ -247,13 +541,21 @@ def bsdf_eval(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
 
 
 def bsdf_pdf(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
-    colors, scalars = _mat_gather(tables, surf["mat_id"])
+    colors, scalars = _params(tables, surf)
     out = jnp.zeros(mat_type.shape, dtype=jnp.float32)
     for t in set(bsdf_types):
         if t == BSDF_DIFFUSE:
             v = _diffuse_pdf(colors, scalars, surf, in_dir, out_dir)
         elif t == BSDF_PHONG:
             v = _phong_pdf(colors, scalars, surf, in_dir, out_dir)
+        elif t == BSDF_ROUGH_CONDUCTOR:
+            v = _rough_conductor_pdf(colors, scalars, surf, in_dir, out_dir)
+        elif t == BSDF_ROUGH_DIELECTRIC:
+            v = _rough_dielectric_pdf(colors, scalars, surf, in_dir, out_dir)
+        elif t == BSDF_PLASTIC:
+            v = _plastic_pdf(colors, scalars, surf, in_dir, out_dir, False)
+        elif t == BSDF_ROUGH_PLASTIC:
+            v = _plastic_pdf(colors, scalars, surf, in_dir, out_dir, True)
         else:
             continue
         out = jnp.where(mat_type == t, v, out)
@@ -268,7 +570,7 @@ def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
     """
     if active is None:
         active = jnp.ones(mat_type.shape, dtype=bool)
-    colors, scalars = _mat_gather(tables, surf["mat_id"])
+    colors, scalars = _params(tables, surf)
 
     # Pre-draw the max number of uniforms from each lane's counter base;
     # lanes advance only by their own type's draw count.
@@ -278,7 +580,7 @@ def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
     for _ in range(max_draws):
         u, c = rng.next_f32(seed, c)
         us.append(u)
-    while len(us) < 2:
+    while len(us) < 3:
         us.append(jnp.zeros(mat_type.shape, dtype=jnp.float32))
 
     in_dir = jnp.zeros(out_dir.shape, dtype=jnp.float32)
@@ -297,6 +599,18 @@ def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
             r = _conductor_sample(colors, scalars, surf, out_dir)
         elif t == BSDF_PHONG:
             r = _phong_sample(colors, scalars, surf, us[0], us[1], out_dir)
+        elif t == BSDF_ROUGH_CONDUCTOR:
+            r = _rough_conductor_sample(colors, scalars, surf, us[0], us[1],
+                                        out_dir)
+        elif t == BSDF_ROUGH_DIELECTRIC:
+            r = _rough_dielectric_sample(colors, scalars, surf, us[0], us[1],
+                                         us[2], out_dir, adjoint)
+        elif t == BSDF_PLASTIC:
+            r = _plastic_sample(colors, scalars, surf, us[0], us[1], us[2],
+                                out_dir, False)
+        elif t == BSDF_ROUGH_PLASTIC:
+            r = _plastic_sample(colors, scalars, surf, us[0], us[1], us[2],
+                                out_dir, True)
         elif t == BSDF_PASSTHROUGH:
             r = (-out_dir, jnp.ones(mat_type.shape, jnp.float32),
                  jnp.ones(out_dir.shape, jnp.float32),
@@ -311,7 +625,9 @@ def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
         weight = jnp.where(mc, r[2], weight)
         eta = jnp.where(m, r[3], eta)
         valid = jnp.where(m, r[4], valid)
-        draws = jnp.where(m, jnp.uint32(_SAMPLE_DRAWS.get(t, 2)), draws)
+        lane_draws = (r[5] if len(r) > 5
+                      else jnp.uint32(_SAMPLE_DRAWS.get(t, 2)))
+        draws = jnp.where(m, lane_draws, draws)
 
     new_counter = jnp.where(active, counter + draws, counter)
     valid = valid & active

@@ -2,28 +2,37 @@
 
 TPU-native restructuring of the reference pipeline: instead of JIT-specialized
 per-material hit shaders dispatched over sorted ray ranges
-(driver/mapping_cpu.art:694-836), every bounce processes the full fixed-size
-ray wave with masked lanes — divergence-free VPU code under a
-`lax.while_loop`.  Technique logic (NEE, MIS weights, russian roulette,
-payload layout) mirrors src/artic/technique/pathtracer.art exactly, and the
-RNG draw order matches the reference per lane, giving bit-stable path replay
-(SURVEY.md §8.10) for the backward pass.
+(driver/mapping_cpu.art:694-836), every bounce processes a fixed-capacity ray
+wave with masked lanes — divergence-free VPU code under a `lax.while_loop`.
+Technique logic (NEE, MIS weights, russian roulette, payload layout) mirrors
+src/artic/technique/pathtracer.art exactly, and the RNG draw order matches the
+reference per lane, giving bit-stable path replay (SURVEY.md §8.10).
+
+Two drivers share the same bounce core:
+
+* `trace_wave` — one ray per lane traced to completion (igtrace ray lists,
+  and the differentiable fixed-depth scan for path-replay gradients).
+* `render_wavefront` — the production camera path: dead lanes are refilled
+  with fresh (pixel, sample) work every bounce, which is the reference's
+  regenerate/compact design (mapping_cpu.art:724-731) expressed as masked
+  in-place refill instead of stream compaction; radiance is scatter-added
+  into the framebuffer by pixel id.
 
 Payload (pathtracer.art:7-31): inv_pdf, contrib, depth (starts at 1), eta.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ignis_tpu.bsdf import bsdf_eval, bsdf_pdf, bsdf_sample, bsdf_specular_mask
+from ignis_tpu.bsdf.union import material_params
 from ignis_tpu.core import rng
 from ignis_tpu.core.vec import (
-    FLT_EPS, FLT_MAX, cross, dot, length, mulf, normalize, orthonormal_basis,
-    safe_div, vec3,
+    FLT_EPS, FLT_MAX, cross, dot, length, normalize, orthonormal_basis,
+    safe_div,
 )
 from ignis_tpu.light import (
     env_emission_and_pdf, light_pdf_direct_solid, sample_light_direct,
@@ -39,6 +48,10 @@ RAY_LIGHT = 0x2
 RAY_BOUNCE = 0x4
 RAY_SHADOW = 0x8
 
+# Scenes below this triangle count use the Pallas brute-force kernel; larger
+# ones use the BVH (see ops/bvh.py and api.py _BVH_MIN_TRIS).
+_PALLAS_MIN_LANES = 1024
+
 
 def _handle_color(c, clamp_value):
     if clamp_value > 0:
@@ -51,23 +64,46 @@ def _tri_mask_for(tables, flag_bit):
     return (ent_flags[tables["tri_ent"]] & flag_bit) != 0
 
 
-def _traverse_closest(tables, org, d, tmin, tmax, tri_mask):
-    """Closest-hit: BVH when node tables are attached, else brute force."""
+def _flags_trivial(scene, bit=None):
+    ent_flags = np.asarray(scene.tables["ent_flags"])
+    if bit is None:
+        return bool((ent_flags == 0xF).all())
+    return bool(((ent_flags & bit) != 0).all())
+
+
+def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask):
+    """Closest-hit dispatch: BVH > Pallas brute force > XLA brute force."""
     if "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_closest
         return bvh_closest(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    if _use_pallas(org):
+        from ignis_tpu.ops.pallas_intersect import pallas_intersect_closest
+        return pallas_intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
+                                        tables["tri_e1"], tables["tri_e2"],
+                                        tri_mask=tri_mask)
     return intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
                              tables["tri_e1"], tables["tri_e2"],
                              tri_mask=tri_mask)
 
 
-def _traverse_any(tables, org, d, tmin, tmax, tri_mask):
+def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask):
     if "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_any
         return bvh_any(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    if _use_pallas(org):
+        from ignis_tpu.ops.pallas_intersect import pallas_intersect_any
+        return pallas_intersect_any(org, d, tmin, tmax, tables["tri_v0"],
+                                    tables["tri_e1"], tables["tri_e2"],
+                                    tri_mask=tri_mask)
     return intersect_any(org, d, tmin, tmax, tables["tri_v0"],
                          tables["tri_e1"], tables["tri_e2"],
                          tri_mask=tri_mask)
+
+
+def _use_pallas(org):
+    # Pallas kernels need TPU; CPU runs (tests, dryrun) use the XLA path.
+    return (jax.default_backend() == "tpu"
+            and org.shape[0] >= _PALLAS_MIN_LANES)
 
 
 def _surface_at(tables, prim, org, direction, t, u, v):
@@ -101,6 +137,159 @@ def _surface_at(tables, prim, org, direction, t, u, v):
                 prim_coords=jnp.stack([u, v], axis=-1))
 
 
+def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
+    """One wavefront bounce for all lanes of `st`.
+
+    st keys: org, dir, tmin, tmax, alive, seed, counter, inv_pdf, contrib,
+    depth, eta.  Returns (splat (N,3), st_next) — splat holds this bounce's
+    radiance contributions (miss/emissive/NEE) for alive lanes.
+    """
+    tech = scene.technique
+    num_lights = scene.num_lights
+    sel_pdf_const = (jnp.float32(1.0 / num_lights) if num_lights > 0
+                     else jnp.float32(1.0))
+    inf_ids = [i for i, l in enumerate(scene.lights)
+               if l.infinite and not l.delta]
+
+    org, d = st["org"], st["dir"]
+    alive = st["alive"]
+    seed = st["seed"]
+    counter = st["counter"]
+    contrib = st["contrib"]
+    inv_pdf = st["inv_pdf"]
+    depth = st["depth"]
+    eta = st["eta"]
+    n = org.shape[0]
+
+    t, u, v, prim = _traverse_closest(scene, tables, org, d, st["tmin"],
+                                      st["tmax"], tri_mask)
+    hit = alive & (prim >= 0)
+    miss = alive & ~hit
+    splat = jnp.zeros((n, 3), jnp.float32)
+
+    # ---- on_miss: infinite, non-delta lights (pathtracer.art:137-162)
+    if inf_ids:
+        miss_color = jnp.zeros((n, 3), jnp.float32)
+        for lid in inf_ids:
+            emit, pdf_s = env_emission_and_pdf(scene, tables, lid, d)
+            if tech.enable_nee and num_lights > 0:
+                mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
+            else:
+                mis = jnp.ones((n,), jnp.float32)
+            miss_color = miss_color + _handle_color(
+                contrib * emit * mis[..., None], tech.clamp)
+        splat = splat + jnp.where(miss[..., None], miss_color, 0.0)
+
+    # ---- surface for hit lanes
+    prim_s = jnp.maximum(prim, 0)
+    surf = _surface_at(tables, prim_s, org, d, t, u, v)
+    mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
+    specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
+    surf["colors"], surf["scalars"] = material_params(scene, tables, surf)
+
+    # ---- on_hit: emissive surfaces (pathtracer.art:115-135)
+    if any(l.type in (1, 2, 8) for l in scene.lights):
+        is_emissive = surf["light_id"] >= 0
+        dot_n = -dot(d, surf["n"])
+        lidx = jnp.maximum(surf["light_id"], 0)
+        pdf_s = light_pdf_direct_solid(
+            scene, tables, lidx, org, d, t, -dot(d, surf["ng"]),
+            surf["prim_coords"], is_emissive)
+        radiance = _area_light_radiance(scene, tables, lidx)
+        if tech.enable_nee:
+            mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
+        else:
+            mis = jnp.ones((n,), jnp.float32)
+        emit_ok = hit & is_emissive & surf["is_entering"] & (dot_n > FLT_EPS)
+        ec = _handle_color(contrib * radiance * mis[..., None], tech.clamp)
+        splat = splat + jnp.where(emit_ok[..., None], ec, 0.0)
+
+    # ---- on_shadow: NEE (pathtracer.art:52-113)
+    do_nee = (tech.enable_nee and num_lights > 0)
+    if do_nee:
+        nee_active = hit & ~specular & (depth + 1 <= tech.max_depth)
+        lsel, sel_pdf, counter = select_light_uniform(
+            num_lights, seed, counter, nee_active)
+        ls, counter = sample_light_direct(
+            scene, tables, lsel, surf["point"], surf["is_entering"],
+            seed, counter, nee_active)
+        pdf_l_s = ls["pdf_solid"] * sel_pdf
+        out_dir = -d
+        pdf_e_s = bsdf_pdf(scene.bsdf_types, tables, mat_type, surf,
+                           ls["dir"], out_dir)
+        mis = jnp.where(ls["delta"], 1.0,
+                        1.0 / (1.0 + safe_div(pdf_e_s, pdf_l_s)))
+        factor = safe_div(ls["pdf_value"], pdf_l_s)
+        bsdf_c = bsdf_eval(scene.bsdf_types, tables, mat_type, surf,
+                           ls["dir"], out_dir)
+        sc = _handle_color(
+            ls["intensity"] * contrib * bsdf_c * (mis * factor)[..., None],
+            tech.clamp)
+        shadow_valid = (nee_active & (pdf_l_s > FLT_EPS)
+                        & (ls["cos"] > FLT_EPS))
+        shadow_contrib = jnp.where(shadow_valid[..., None], sc, 0.0)
+        s_org = surf["point"]
+        finite_dir = ls["pos"] - surf["point"]
+        s_dir = jnp.where(ls["infinite"][..., None], ls["dir"], finite_dir)
+        s_tmax = jnp.where(ls["infinite"], FLT_MAX, 1.0 - OFFSET)
+
+    # ---- on_bounce (pathtracer.art:166-200)
+    can_bounce = hit & (depth + 1 <= tech.max_depth)
+    out_dir = -d
+    in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
+        scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+        active=can_bounce)
+    new_contrib = contrib * b_weight
+    # russian roulette (pbrt v4 variant, pathtracer.art:5, :185); detached —
+    # a sampling decision, not part of the integrand (path-replay gradients).
+    rr_base = jnp.max(new_contrib * (eta * eta)[..., None], axis=-1)
+    rr_prob = jnp.where(depth + 1 > tech.min_depth,
+                        jnp.clip(rr_base, 0.05, 0.95), 1.0)
+    rr_prob = jax.lax.stop_gradient(rr_prob)
+    u_rr, counter_rr = rng.next_f32(seed, counter)
+    rr_draw = can_bounce & b_valid
+    counter = jnp.where(rr_draw, counter_rr, counter)
+    survive = u_rr < rr_prob
+    alive_next = rr_draw & survive
+    contrib_next = new_contrib * safe_div(1.0, rr_prob)[..., None]
+    inv_pdf_next = jnp.where(specular, 0.0, safe_div(1.0, b_pdf))
+
+    # ---- trace shadow rays & splat (mapping on_shadow_miss)
+    if do_nee:
+        occ = _traverse_any(scene, tables, s_org, s_dir,
+                            jnp.full((n,), OFFSET, jnp.float32),
+                            s_tmax, shadow_mask)
+        splat = splat + jnp.where((shadow_valid & ~occ)[..., None],
+                                  shadow_contrib, 0.0)
+
+    st_next = dict(
+        org=jnp.where(alive_next[..., None], surf["point"], org),
+        dir=jnp.where(alive_next[..., None], in_dir, d),
+        tmin=jnp.where(alive_next, OFFSET, st["tmin"]),
+        tmax=jnp.where(alive_next, FLT_MAX, st["tmax"]),
+        alive=alive_next,
+        seed=seed,
+        counter=counter,
+        inv_pdf=jnp.where(alive_next, inv_pdf_next, inv_pdf),
+        contrib=jnp.where(alive_next[..., None], contrib_next, contrib),
+        depth=jnp.where(alive_next, depth + 1, depth),
+        eta=jnp.where(alive_next, eta * b_eta, eta),
+    )
+    return splat, st_next
+
+
+def _emit_camera(scene, x, y, sample, iteration, frame, user_seed):
+    """Camera emitter (driver/emitter.art:6-16): seed, sampler draws, ray."""
+    n = x.shape[0]
+    seed = rng.create_seed(sample, iteration, frame, x, y, jnp.uint32(user_seed))
+    counter = jnp.full((n,), 1, dtype=jnp.uint32)
+    rx, counter = rng.next_f32(seed, counter)
+    ry, counter = rng.next_f32(seed, counter)
+    nx, ny = pixel_coord_from_xy(x, y, scene.width, scene.height, rx, ry)
+    org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny)
+    return seed, counter, org, direction, tmin, tmax
+
+
 def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
                org=None, direction=None, tmin=None, tmax=None,
                differentiable=False):
@@ -111,31 +300,23 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
 
     differentiable=True swaps the `while_loop` for a fixed-length `lax.scan`
     over max_depth bounces so reverse-mode AD works (while_loop has no
-    transpose rule); the sampling decisions and RR probabilities are detached,
-    matching path-replay gradient semantics (radiance grads w.r.t.
-    BSDF/light/texture parameter tables).
+    transpose rule).
     """
     tech = scene.technique
     n = x.shape[0]
-    seed = rng.create_seed(sample, iteration, frame, x, y,
-                           jnp.uint32(user_seed))
-    counter = jnp.full((n,), 1, dtype=jnp.uint32)  # create_random_generator
 
     if org is None:
-        # camera emitter (driver/emitter.art:6-16): pixel sampler then camera
-        if scene.sampler in ("independent", "uniform"):
-            rx, counter = rng.next_f32(seed, counter)
-            ry, counter = rng.next_f32(seed, counter)
-        else:  # mjitt/halton TODO; fall back to independent draws
-            rx, counter = rng.next_f32(seed, counter)
-            ry, counter = rng.next_f32(seed, counter)
-        nx, ny = pixel_coord_from_xy(x, y, scene.width, scene.height, rx, ry)
-        org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny)
+        seed, counter, org, direction, tmin, tmax = _emit_camera(
+            scene, x, y, sample, iteration, frame, user_seed)
+    else:
+        seed = rng.create_seed(sample, iteration, frame, x, y,
+                               jnp.uint32(user_seed))
+        counter = jnp.full((n,), 1, dtype=jnp.uint32)
 
     state = dict(
         org=org, dir=direction, tmin=tmin, tmax=tmax,
         alive=jnp.ones((n,), bool),
-        counter=counter,
+        seed=seed, counter=counter,
         inv_pdf=jnp.zeros((n,), jnp.float32),
         contrib=jnp.ones((n, 3), jnp.float32),
         depth=jnp.ones((n,), jnp.int32),
@@ -144,144 +325,23 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         bounce_index=jnp.int32(0),
     )
 
-    num_lights = scene.num_lights
-    sel_pdf_const = jnp.float32(1.0 / num_lights) if num_lights > 0 else jnp.float32(1.0)
-    inf_ids = [i for i, l in enumerate(scene.lights) if l.infinite and not l.delta]
+    trivial = _flags_trivial(scene)
+    mask_cam = None if trivial else _tri_mask_for(tables, RAY_CAMERA)
+    mask_bounce = None if trivial else _tri_mask_for(tables, RAY_BOUNCE)
+    shadow_mask = (None if _flags_trivial(scene, RAY_SHADOW)
+                   else _tri_mask_for(tables, RAY_SHADOW))
 
     def bounce_body(state):
-        org, d = state["org"], state["dir"]
-        alive = state["alive"]
-        counter = state["counter"]
-        contrib = state["contrib"]
-        inv_pdf = state["inv_pdf"]
-        depth = state["depth"]
-        eta = state["eta"]
-        accum = state["accum"]
-
-        # ---- traverse primary. Ray type is wave-uniform: every lane starts
-        # as a camera ray at depth 1 and becomes a bounce ray together, so the
-        # visibility mask is a scalar select on the wave's bounce index.
-        mask_cam = _tri_mask_for(tables, RAY_CAMERA)
-        mask_bounce = _tri_mask_for(tables, RAY_BOUNCE)
-        is_first = state["bounce_index"] == 0
-        tri_mask = jnp.where(is_first, mask_cam, mask_bounce)
-        t, u, v, prim = _traverse_closest(tables, org, d, state["tmin"],
-                                          state["tmax"], tri_mask)
-        hit = alive & (prim >= 0)
-        miss = alive & ~hit
-
-        # ---- on_miss: infinite, non-delta lights (pathtracer.art:137-162)
-        miss_color = jnp.zeros((n, 3), jnp.float32)
-        for lid in inf_ids:
-            emit, pdf_s = env_emission_and_pdf(scene, tables, lid, d)
-            if tech.enable_nee and num_lights > 0:
-                mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
-            else:
-                mis = jnp.ones((n,), jnp.float32)
-            miss_color = miss_color + _handle_color(contrib * emit * mis[..., None], tech.clamp)
-        accum = accum + jnp.where(miss[..., None], miss_color, 0.0)
-
-        # ---- surface for hit lanes
-        prim_s = jnp.maximum(prim, 0)
-        surf = _surface_at(tables, prim_s, org, d, t, u, v)
-        mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
-        specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
-
-        # ---- on_hit: emissive surfaces (pathtracer.art:115-135)
-        if any(l.type in (1, 2, 8) for l in scene.lights):
-            is_emissive = surf["light_id"] >= 0
-            dot_n = -dot(d, surf["n"])
-            lidx = jnp.maximum(surf["light_id"], 0)
-            pdf_s = light_pdf_direct_solid(
-                scene, tables, lidx, org, d, t, -dot(d, surf["ng"]),
-                surf["prim_coords"], is_emissive)
-            radiance = _area_light_radiance(scene, tables, lidx)
-            if tech.enable_nee:
-                mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
-            else:
-                mis = jnp.ones((n,), jnp.float32)
-            emit_ok = hit & is_emissive & surf["is_entering"] & (dot_n > FLT_EPS)
-            ec = _handle_color(contrib * radiance * mis[..., None], tech.clamp)
-            accum = accum + jnp.where(emit_ok[..., None], ec, 0.0)
-
-        # ---- on_shadow: NEE (pathtracer.art:52-113)
-        do_nee = (tech.enable_nee and num_lights > 0)
-        shadow_contrib = jnp.zeros((n, 3), jnp.float32)
-        shadow_valid = jnp.zeros((n,), bool)
-        if do_nee:
-            nee_active = hit & ~specular & (depth + 1 <= tech.max_depth)
-            lsel, sel_pdf, counter = select_light_uniform(
-                num_lights, seed, counter, nee_active)
-            ls, counter = sample_light_direct(
-                scene, tables, lsel, surf["point"], surf["is_entering"],
-                seed, counter, nee_active)
-            pdf_l_s = ls["pdf_solid"] * sel_pdf
-            out_dir = -d
-            pdf_e_s = bsdf_pdf(scene.bsdf_types, tables, mat_type, surf,
-                               ls["dir"], out_dir)
-            mis = jnp.where(ls["delta"], 1.0,
-                            1.0 / (1.0 + safe_div(pdf_e_s, pdf_l_s)))
-            factor = safe_div(ls["pdf_value"], pdf_l_s)
-            bsdf_c = bsdf_eval(scene.bsdf_types, tables, mat_type, surf,
-                               ls["dir"], out_dir)
-            sc = _handle_color(
-                ls["intensity"] * contrib * bsdf_c * (mis * factor)[..., None],
-                tech.clamp)
-            shadow_valid = (nee_active & (pdf_l_s > FLT_EPS)
-                            & (ls["cos"] > FLT_EPS))
-            shadow_contrib = jnp.where(shadow_valid[..., None], sc, 0.0)
-            # shadow ray geometry (pathtracer.art:98-110)
-            s_org = surf["point"]
-            finite_dir = ls["pos"] - surf["point"]
-            s_dir = jnp.where(ls["infinite"][..., None], ls["dir"], finite_dir)
-            s_tmax = jnp.where(ls["infinite"], FLT_MAX, 1.0 - OFFSET)
-
-        # ---- on_bounce (pathtracer.art:166-200)
-        can_bounce = hit & (depth + 1 <= tech.max_depth)
-        out_dir = -d
-        in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
-            scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
-            active=can_bounce)
-        new_contrib = contrib * b_weight
-        # russian roulette (pbrt v4 variant, pathtracer.art:5, :185)
-        rr_base = jnp.max(new_contrib * (eta * eta)[..., None], axis=-1)
-        rr_prob = jnp.where(depth + 1 > tech.min_depth,
-                            jnp.clip(rr_base, 0.05, 0.95), 1.0)
-        # RR probability is a sampling decision, not part of the integrand:
-        # detach so path-replay gradients stay unbiased.
-        rr_prob = jax.lax.stop_gradient(rr_prob)
-        u_rr, counter_rr = rng.next_f32(seed, counter)
-        rr_draw = can_bounce & b_valid
-        counter = jnp.where(rr_draw, counter_rr, counter)
-        survive = u_rr < rr_prob
-        alive_next = rr_draw & survive
-        contrib_next = new_contrib * safe_div(1.0, rr_prob)[..., None]
-        inv_pdf_next = jnp.where(specular, 0.0, safe_div(1.0, b_pdf))
-
-        # ---- trace shadow rays & splat (mapping on_shadow_miss)
-        if do_nee:
-            smask = _tri_mask_for(tables, RAY_SHADOW)
-            occ = _traverse_any(tables, s_org, s_dir,
-                                jnp.full((n,), OFFSET, jnp.float32),
-                                s_tmax, smask)
-            accum = accum + jnp.where((shadow_valid & ~occ)[..., None],
-                                      shadow_contrib, 0.0)
-
-        new_state = dict(
-            org=jnp.where(alive_next[..., None], surf["point"], org),
-            dir=jnp.where(alive_next[..., None], in_dir, d),
-            tmin=jnp.where(alive_next, OFFSET, state["tmin"]),
-            tmax=jnp.where(alive_next, FLT_MAX, state["tmax"]),
-            alive=alive_next,
-            counter=counter,
-            inv_pdf=jnp.where(alive_next, inv_pdf_next, inv_pdf),
-            contrib=jnp.where(alive_next[..., None], contrib_next, contrib),
-            depth=jnp.where(alive_next, depth + 1, depth),
-            eta=jnp.where(alive_next, eta * b_eta, eta),
-            accum=accum,
-            bounce_index=state["bounce_index"] + 1,
-        )
-        return new_state
+        if trivial:
+            tri_mask = None
+        else:
+            tri_mask = jnp.where(state["bounce_index"] == 0, mask_cam,
+                                 mask_bounce)
+        splat, st_next = _bounce_core(scene, tables, state, tri_mask,
+                                      shadow_mask)
+        st_next["accum"] = state["accum"] + splat
+        st_next["bounce_index"] = state["bounce_index"] + 1
+        return st_next
 
     def cond(state):
         return jnp.any(state["alive"])
@@ -296,6 +356,93 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
     return state["accum"]
 
 
+def render_wavefront(scene, tables, work_x, work_y, work_sample,
+                     iteration, frame, user_seed, capacity):
+    """Render a full work list through a fixed-capacity regenerating wave.
+
+    work_*: (W,) per-work-item pixel x/y and sample index.  Returns the
+    unnormalized framebuffer sum (H*W, 3) for this iteration.  Equivalent to
+    the reference's regenerate/trace/shade loop with bounded queues
+    (mapping_cpu.art:694-836) — dead lanes immediately pick up fresh camera
+    work, so tail bounces of long paths never run at low occupancy.
+    """
+    tech = scene.technique
+    w_total = work_x.shape[0]
+    npix = scene.width * scene.height
+    c = capacity
+
+    trivial = _flags_trivial(scene)
+    # Mixed camera/bounce lanes per wave: exact per-ray visibility needs
+    # camera==bounce masks; scenes violating that fall back to trace_wave in
+    # the Runtime (api.py).
+    prim_mask = None if trivial else _tri_mask_for(tables, RAY_BOUNCE)
+    shadow_mask = (None if _flags_trivial(scene, RAY_SHADOW)
+                   else _tri_mask_for(tables, RAY_SHADOW))
+
+    state = dict(
+        org=jnp.zeros((c, 3), jnp.float32),
+        dir=jnp.concatenate([jnp.zeros((c, 2), jnp.float32),
+                             jnp.ones((c, 1), jnp.float32)], axis=1),
+        tmin=jnp.zeros((c,), jnp.float32),
+        tmax=jnp.zeros((c,), jnp.float32),
+        alive=jnp.zeros((c,), bool),
+        seed=jnp.zeros((c,), jnp.uint32),
+        counter=jnp.ones((c,), jnp.uint32),
+        inv_pdf=jnp.zeros((c,), jnp.float32),
+        contrib=jnp.ones((c, 3), jnp.float32),
+        depth=jnp.ones((c,), jnp.int32),
+        eta=jnp.ones((c,), jnp.float32),
+        pixel=jnp.zeros((c,), jnp.int32),
+        next_work=jnp.int32(0),
+        fb=jnp.zeros((npix, 3), jnp.float32),
+    )
+
+    def body(st):
+        # ---- regenerate: dead lanes pull the next work items
+        dead = ~st["alive"]
+        rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        wid = st["next_work"] + rank
+        take = dead & (wid < w_total)
+        wid_c = jnp.clip(wid, 0, w_total - 1)
+        gx = work_x[wid_c]
+        gy = work_y[wid_c]
+        gs = work_sample[wid_c]
+        seed_n, counter_n, org_n, dir_n, tmin_n, tmax_n = _emit_camera(
+            scene, gx, gy, gs, iteration, frame, user_seed)
+
+        sel = take[..., None]
+        st = dict(st)
+        st["org"] = jnp.where(sel, org_n, st["org"])
+        st["dir"] = jnp.where(sel, dir_n, st["dir"])
+        st["tmin"] = jnp.where(take, tmin_n, st["tmin"])
+        st["tmax"] = jnp.where(take, tmax_n, st["tmax"])
+        st["seed"] = jnp.where(take, seed_n, st["seed"])
+        st["counter"] = jnp.where(take, counter_n, st["counter"])
+        st["inv_pdf"] = jnp.where(take, 0.0, st["inv_pdf"])
+        st["contrib"] = jnp.where(sel, 1.0, st["contrib"])
+        st["depth"] = jnp.where(take, 1, st["depth"])
+        st["eta"] = jnp.where(take, 1.0, st["eta"])
+        st["pixel"] = jnp.where(take, gy * scene.width + gx, st["pixel"])
+        st["alive"] = st["alive"] | take
+        st["next_work"] = st["next_work"] + jnp.sum(take.astype(jnp.int32))
+
+        # ---- one bounce for the whole wave
+        splat, st_next = _bounce_core(scene, tables, st, prim_mask,
+                                      shadow_mask)
+        fb = st["fb"].at[st["pixel"]].add(
+            jnp.where(st["alive"][..., None], splat, 0.0))
+        st_next["pixel"] = st["pixel"]
+        st_next["next_work"] = st["next_work"]
+        st_next["fb"] = fb
+        return st_next
+
+    def cond(st):
+        return (st["next_work"] < w_total) | jnp.any(st["alive"])
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["fb"]
+
+
 def _gather_mat_type(scene, tables, mat_id):
     types = jnp.asarray(scene.bsdf_types, dtype=jnp.int32)
     return types[mat_id]
@@ -305,7 +452,6 @@ def _area_light_radiance(scene, tables, light_idx):
     """Radiance color of area lights by id (layout per light type)."""
     data = tables["light_data"][light_idx]
     ltype = tables["light_type"][light_idx]
-    # plane: radiance at [13:16]; mesh: radiance at [0:3]
-    from ignis_tpu.scene.compile import LIGHT_AREA_MESH, LIGHT_AREA_PLANE
+    from ignis_tpu.scene.compile import LIGHT_AREA_PLANE
     return jnp.where((ltype == LIGHT_AREA_PLANE)[..., None],
                      data[:, 13:16], data[:, 0:3])

@@ -42,6 +42,9 @@ BSDF_MIRROR = 7        # perfect mirror (bsdf/conductor.art make_mirror_bsdf)
 BSDF_KLEMS = 8
 BSDF_TENSORTREE = 9
 BSDF_DJMEASURED = 10
+BSDF_ROUGH_CONDUCTOR = 11   # VNDF-GGX conductor (bsdf/conductor.art:34-100)
+BSDF_ROUGH_DIELECTRIC = 12  # VNDF-GGX dielectric (bsdf/dielectric.art:51-185)
+BSDF_ROUGH_PLASTIC = 13     # plastic with rough specular lobe
 
 # Light type ids
 LIGHT_POINT = 0
@@ -159,6 +162,7 @@ class CompiledScene:
     bbox_max: np.ndarray
     entity_names: list = field(default_factory=list)
     material_names: list = field(default_factory=list)
+    textures: list = field(default_factory=list)
 
     @property
     def num_lights(self):
@@ -231,26 +235,60 @@ def _compile_technique(scene: Scene) -> TechniqueConfig:
     )
 
 
-def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray):
-    """Fill one material row. colors: (4,3); scalars: (8,). Returns type id."""
+def _roughness_alphas(obj: dict):
+    """setupRoughness + compute_explicit (BSDF.cpp:53-100,
+    microfacet.art:397-402): roughness/alpha (+anisotropic or _u/_v) →
+    (alpha_u, alpha_v).  Returns (0, 0) for the smooth/delta case."""
+    old = any(k in obj for k in ("alpha", "alpha_u", "alpha_v"))
+    base = "alpha" if old else "roughness"
+    if not any(k in obj for k in (base, base + "_u", base + "_v")):
+        return 0.0, 0.0
+    if (base + "_u") in obj or (base + "_v") in obj:
+        au, _ = _number(obj.get(base + "_u"), 0.1)
+        av, _ = _number(obj.get(base + "_v"), 0.1)
+        return au, av
+    r, _ = _number(obj.get(base), 0.1)
+    aniso, _ = _number(obj.get("anisotropic"), 0.0)
+    aspect = 1.0 if aniso == 0 else math.sqrt(1.0 - min(max(aniso, 0.0), 1.0) * 0.99)
+    return r / aspect, r * aspect
+
+
+def _is_delta_alpha(au, av):
+    return au <= 1e-4 or av <= 1e-4  # check_if_delta_distribution
+
+
+def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray,
+                  tex_row: np.ndarray, tex_of):
+    """Fill one material row. colors: (4,3); scalars: (8,). Returns type id.
+
+    Scalar slots: [0]=alpha_u/alpha/exponent, [1]=ext_ior, [2]=int_ior,
+    [3]=thin flag, [4]=alpha_v.
+    Texture row: per color-slot texture id (-1 = constant) — the compile-time
+    analog of ShadingTree's embed-vs-lookup decision (loader/ShadingTree.h:16-63).
+    """
+    def ccolor(slot, prop, default):
+        c, tex = _color(obj.get(prop), default)
+        colors[slot] = c
+        if isinstance(tex, str):
+            tex_row[slot] = tex_of(tex)
     btype = obj.get("type", "diffuse")
     if btype in ("diffuse", "roughdiffuse"):
-        c, _tex = _color(obj.get("reflectance"), (0.5, 0.5, 0.5))
-        colors[0] = c
+        ccolor(0, "reflectance", (0.5, 0.5, 0.5))
         alpha, _ = _number(obj.get("alpha", obj.get("roughness")), 0.0)
         scalars[0] = alpha
         return BSDF_DIFFUSE
     if btype in ("dielectric", "roughdielectric", "thindielectric", "glass"):
-        ks, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
-        kt, _ = _color(obj.get("specular_transmittance"), (1, 1, 1))
-        colors[0], colors[1] = ks, kt
+        ccolor(0, "specular_reflectance", (1, 1, 1))
+        ccolor(1, "specular_transmittance", (1, 1, 1))
         ext_def = _DIELECTRICS.get(str(obj.get("ext_ior_material", "")).lower(), 1.0)
         int_def = _DIELECTRICS.get(str(obj.get("int_ior_material", "")).lower(), 1.5046)
         scalars[1], _ = _number(obj.get("ext_ior"), ext_def)
         scalars[2], _ = _number(obj.get("int_ior"), int_def)
-        ruf = obj.get("roughness", obj.get("alpha"))
-        scalars[0], _ = _number(ruf, 0.0) if (ruf is not None and btype != "glass") else (0.0, -1)
         scalars[3] = 1.0 if (btype == "thindielectric" or obj.get("thin", False)) else 0.0
+        au, av = (0.0, 0.0) if btype == "glass" else _roughness_alphas(obj)
+        scalars[0], scalars[4] = au, av
+        if not _is_delta_alpha(au, av):
+            return BSDF_ROUGH_DIELECTRIC
         return BSDF_DIELECTRIC
     if btype in ("conductor", "roughconductor", "mirror"):
         if btype == "mirror":
@@ -261,16 +299,28 @@ def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray):
             scalars[0] = 0.0
             return BSDF_CONDUCTOR
         spec = _CONDUCTORS.get(str(obj.get("material", "")).lower(), _CONDUCTORS["none"])
-        ks, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
-        eta, _ = _color(obj.get("eta"), spec[0])
-        k, _ = _color(obj.get("k"), spec[1])
-        colors[0], colors[1], colors[2] = ks, eta, k
-        ruf = obj.get("roughness", obj.get("alpha"))
-        scalars[0], _ = _number(ruf, 0.0) if ruf is not None else (0.0, -1)
+        ccolor(0, "specular_reflectance", (1, 1, 1))
+        ccolor(1, "eta", spec[0])
+        ccolor(2, "k", spec[1])
+        au, av = _roughness_alphas(obj)
+        scalars[0], scalars[4] = au, av
+        if not _is_delta_alpha(au, av):
+            return BSDF_ROUGH_CONDUCTOR
         return BSDF_CONDUCTOR
+    if btype in ("plastic", "roughplastic"):
+        ccolor(0, "diffuse_reflectance", (0.8, 0.8, 0.8))
+        ccolor(1, "specular_reflectance", (1, 1, 1))
+        ext_def = _DIELECTRICS.get(str(obj.get("ext_ior_material", "")).lower(), 1.0)
+        int_def = _DIELECTRICS.get(str(obj.get("int_ior_material", "")).lower(), 1.49)
+        scalars[1], _ = _number(obj.get("ext_ior"), ext_def)
+        scalars[2], _ = _number(obj.get("int_ior"), int_def)
+        au, av = _roughness_alphas(obj)
+        scalars[0], scalars[4] = au, av
+        if not _is_delta_alpha(au, av):
+            return BSDF_ROUGH_PLASTIC
+        return BSDF_PLASTIC
     if btype in ("phong",):
-        c, _ = _color(obj.get("specular_reflectance"), (1, 1, 1))
-        colors[0] = c
+        ccolor(0, "specular_reflectance", (1, 1, 1))
         scalars[0], _ = _number(obj.get("exponent"), 30.0)
         return BSDF_PHONG
     if btype in ("passthrough", "null"):
@@ -289,15 +339,25 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     camera = _compile_camera(scene, w, h)
     technique = _compile_technique(scene)
 
+    # ---- textures
+    from ignis_tpu.texture.loader import compile_textures
+    textures, img_tables = compile_textures(scene)
+    tex_index = {t["name"]: i for i, t in enumerate(textures)}
+
+    def tex_of(name):
+        return tex_index.get(name, -1)
+
     # ---- materials (BSDFs)
     bsdf_names = list(scene.bsdfs_order)
     bsdf_index = {n: i for i, n in enumerate(bsdf_names)}
     nmat = max(1, len(bsdf_names))
     mat_colors = np.zeros((nmat, 4, 3), dtype=np.float32)
     mat_scalars = np.zeros((nmat, 8), dtype=np.float32)
+    mat_tex = np.full((nmat, 4), -1, dtype=np.int32)
     bsdf_types = []
     for i, nname in enumerate(bsdf_names):
-        bsdf_types.append(_compile_bsdf(scene.bsdfs[nname], mat_colors[i], mat_scalars[i]))
+        bsdf_types.append(_compile_bsdf(scene.bsdfs[nname], mat_colors[i],
+                                        mat_scalars[i], mat_tex[i], tex_of))
     if not bsdf_names:
         bsdf_types.append(BSDF_DIFFUSE)
         mat_colors[0, 0] = 0.5
@@ -445,7 +505,12 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             light_f.append(lrow(pos, nd, inten,
                                 [math.cos(cutoff), math.cos(falloff)]))
         else:
-            raise SceneError(f"Unsupported light type '{ltype}' (round-1 scope)")
+            # Degrade gracefully like the reference loader (logs an error and
+            # continues; LoaderLight.cpp unknown-plugin path).
+            import warnings
+            warnings.warn(f"Ignoring unsupported light type '{ltype}' "
+                          f"(light '{lname}')")
+            continue
 
     light_data = (np.stack(light_f) if light_f
                   else np.zeros((0, 32), dtype=np.float32))
@@ -464,7 +529,9 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         "ent_mat": ent_mat, "ent_light": ent_light, "ent_flags": ent_flags,
         "ent_tri_offset": ent_tri_offset, "ent_tri_count": ent_tri_count,
         "mat_colors": mat_colors, "mat_scalars": mat_scalars,
+        "mat_tex": mat_tex,
         "light_data": light_data,
+        **img_tables,
         "light_type": light_type_arr, "light_infinite": light_inf_arr,
         "light_delta": light_delta_arr,
     }
@@ -473,7 +540,8 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         width=w, height=h, sampler=sampler, camera=camera, technique=technique,
         bsdf_types=bsdf_types, lights=lights, num_entities=num_entities,
         tables=tables, bbox_min=bbox_min, bbox_max=bbox_max,
-        entity_names=ent_names, material_names=bsdf_names)
+        entity_names=ent_names, material_names=bsdf_names,
+        textures=textures)
 
 
 def _detect_plane(world: TriMesh):

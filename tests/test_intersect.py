@@ -97,9 +97,8 @@ def test_bvh_matches_bruteforce():
     hit_q = qi >= 0
     np.testing.assert_array_equal(hit_b, hit_q)
     np.testing.assert_allclose(qt[hit_b], bt[hit_b], rtol=2e-5, atol=1e-6)
-    # same triangle modulo reordering
-    to_orig = np.asarray(tables["bvh_tri_to_orig"])
-    np.testing.assert_array_equal(to_orig[qi[hit_q]], bi[hit_b])
+    # bvh_closest maps hits back to original soup indices
+    np.testing.assert_array_equal(qi[hit_q], bi[hit_b])
 
     # occlusion agreement
     occ_b = np.asarray(intersect_any(
