@@ -34,26 +34,54 @@ def main():
         from __graft_entry__ import _demo_scene
         rt = Runtime(_demo_scene(), width=size, height=size)
 
-    # warm-up (compile)
-    rt.step(spi=1)
-
+    # ---- forward throughput (wavefront renderer)
+    rt.step(spi=1)  # warm-up (compile)
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         rt.step(spi=spi)
     dt = time.perf_counter() - t0
-
     samples = size * size * spi * iters
-    msps = samples / dt / 1e6
+    fwd_msps = samples / dt / 1e6
     img = rt.currentFrame()
     ok = bool(np.isfinite(img).all())
 
+    # ---- forward+backward throughput (path-replay scan, grads w.r.t.
+    # material colors) on a smaller wave; metric per BASELINE.json
+    from ignis_tpu.render.integrator import trace_wave
+    scene = rt.scene
+    n = 1 << 15
+    idx = np.arange(n, dtype=np.int32)
+    x = jnp.asarray(idx % size)
+    y = jnp.asarray((idx // size) % size)
+
+    def loss(mc, tables):
+        t = dict(tables)
+        t["mat_colors"] = mc
+        c = trace_wave(scene, t, x, y, jnp.uint32(0), jnp.uint32(0),
+                       jnp.uint32(0), 0, differentiable=True)
+        return jnp.sum(c)
+
+    grad_fn = jax.jit(jax.grad(loss))
+    g = grad_fn(rt.tables["mat_colors"], rt.tables)
+    jax.block_until_ready(g)  # compile warm-up
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        g = grad_fn(rt.tables["mat_colors"], rt.tables)
+    jax.block_until_ready(g)
+    dt_b = (time.perf_counter() - t0)
+    fwdbwd_msps = n * reps / dt_b / 1e6
+    grad_ok = bool(np.isfinite(np.asarray(g)).all())
+
     print(json.dumps({
-        "metric": "diamond_scene samples/sec/chip (fwd)",
-        "value": round(msps, 4),
+        "metric": "diamond_scene samples/sec/chip (fwd+bwd)",
+        "value": round(fwdbwd_msps, 4),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / BASELINE_MSPS, 4),
+        "vs_baseline": round(fwdbwd_msps / BASELINE_MSPS, 4),
+        "fwd_msps": round(fwd_msps, 4),
         "finite": ok,
+        "grad_finite": grad_ok,
     }))
 
 

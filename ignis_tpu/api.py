@@ -30,6 +30,14 @@ jax.config.update("jax_compilation_cache_dir",
                                   _os.path.expanduser("~/.cache/ignis_tpu_xla")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# IGNIS_TPU_PLATFORM=cpu forces the CPU backend (some TPU plugins override the
+# JAX_PLATFORMS env var, so this goes through the config API).
+if _os.environ.get("IGNIS_TPU_PLATFORM"):
+    try:
+        jax.config.update("jax_platforms", _os.environ["IGNIS_TPU_PLATFORM"])
+    except Exception:
+        pass
+
 # Wave-lockstep BVH traversal is latency-bound on TPU (one node visit per
 # while_loop step); below this soup size the single fused brute-force
 # Möller-Trumbore sweep is measured ~50x faster per step.  See ops/bvh.py.
@@ -67,8 +75,13 @@ class Runtime:
         ent_flags = np.asarray(self.scene.tables["ent_flags"])
         self._wavefront_ok = bool(
             (((ent_flags & 0x1) != 0) == ((ent_flags & 0x4) != 0)).all())
+        if self.scene.technique.type in ("debug", "ao", "wireframe",
+                                         "lightvisibility", "camera_check",
+                                         "infobuffer"):
+            self._wavefront_ok = False
         self._render_wavefront = jax.jit(
-            partial(render_wavefront, self.scene), static_argnames=("capacity",))
+            partial(render_wavefront, self.scene),
+            static_argnames=("capacity", "spi"))
 
     # ------------------------------------------------------------------ info
     @property
@@ -104,7 +117,7 @@ class Runtime:
             fb = self._render_wavefront(
                 self.tables, work_x, work_y, work_s,
                 jnp.uint32(self.iteration), jnp.uint32(self.frame),
-                self.seed, capacity=capacity)
+                self.seed, capacity=capacity, spi=spi)
             self._accum += np.asarray(fb)
         else:
             tile = min(self.tile_size, npix)

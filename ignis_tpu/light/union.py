@@ -30,8 +30,15 @@ from ignis_tpu.core.warp import (
 )
 from ignis_tpu.scene.compile import (
     LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_DIRECTIONAL, LIGHT_ENV,
-    LIGHT_POINT, LIGHT_SPOT,
+    LIGHT_ENV_CDF, LIGHT_POINT, LIGHT_SPOT,
 )
+
+
+def _safe_len(v):
+    """length with an epsilon floor: d/dx sqrt(x) is infinite at 0 and a
+    coincident light/shading point (NEE from a point on the light itself)
+    would NaN the backward pass."""
+    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1), 1e-24))
 
 
 def _ldata(tables, light_idx):
@@ -52,13 +59,65 @@ def select_light_uniform(num_lights, seed, counter, active):
     return idx, jnp.float32(1.0 / num_lights), counter
 
 
+def select_light(scene, tables, seed, counter, active):
+    """Selector dispatch (light/light_selector.art:46-76).
+
+    `simple`/`cdf` use the flux-weighted finite-light CDF with a 0.5
+    infinite/finite split when both exist; `hierarchy` currently maps to the
+    CDF selector (same estimator family, different variance — the reference's
+    point-BVH cut is a TODO).  Returns (light_idx, select_pdf (per-lane),
+    counter)."""
+    kind = scene.technique.light_selector
+    num_lights = scene.num_lights
+    finite_ids = [i for i, l in enumerate(scene.lights) if not l.infinite]
+    inf_ids = [i for i, l in enumerate(scene.lights) if l.infinite]
+
+    if (num_lights <= 1 or kind not in ("simple", "cdf", "hierarchy")
+            or not finite_ids):
+        idx, pdf, counter = select_light_uniform(num_lights, seed, counter,
+                                                 active)
+        return idx, jnp.broadcast_to(pdf, counter.shape), counter
+
+    cdf = tables["light_sel_cdf"]
+    fin_map = jnp.asarray(finite_ids, jnp.int32)
+    sel_pdf_tab = tables["light_sel_pdf"]
+
+    if inf_ids:
+        ratio = jnp.float32(0.5)
+        q, counter_q = rng.next_f32(seed, counter)
+        counter = jnp.where(active, counter_q, counter)
+        pick_inf = q < ratio
+        # infinite branch: uniform among infinite (draw only if > 1)
+        if len(inf_ids) > 1:
+            iidx, counter_i = rng.next_i32(seed, counter, 0, len(inf_ids) - 1,
+                                           active & pick_inf)
+            counter = counter_i
+        else:
+            iidx = jnp.zeros(counter.shape, jnp.int32)
+        inf_light = jnp.asarray(inf_ids, jnp.int32)[iidx]
+        # finite branch: discrete CDF sample (1 draw)
+        u, counter_f = rng.next_f32(seed, counter)
+        counter = jnp.where(active & ~pick_inf, counter_f, counter)
+        off = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0,
+                       cdf.shape[0] - 1)
+        fin_light = fin_map[off]
+        idx = jnp.where(pick_inf, inf_light, fin_light)
+    else:
+        u, counter_f = rng.next_f32(seed, counter)
+        counter = jnp.where(active, counter_f, counter)
+        off = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0,
+                       cdf.shape[0] - 1)
+        idx = fin_map[off]
+    return idx, sel_pdf_tab[idx], counter
+
+
 # ---------------------------------------------------------------- sampling
 
 def _sample_point(data, from_point):
     pos = data[:, 0:3]
     intensity = data[:, 3:6]
     dir_ = pos - from_point
-    dist = length(dir_)
+    dist = _safe_len(dir_)
     d = dir_ * safe_div(1.0, dist)[..., None]
     # pdf = make_area_pdf(1), cos = 1 (light/point.art:1-8)
     return dict(dir=d, dist=dist, cos=jnp.ones_like(dist), pos=pos,
@@ -89,7 +148,7 @@ def _sample_spot(data, from_point):
     cos_cutoff = data[:, 9]
     cos_falloff = data[:, 10]
     dir_ = pos - from_point
-    dist = length(dir_)
+    dist = _safe_len(dir_)
     d = dir_ * safe_div(1.0, dist)[..., None]
     cos_a = dot(-d, ldir)   # angle of (light → surface) vs spot axis
     blend = cos_falloff - cos_cutoff
@@ -122,11 +181,14 @@ def _compute_sq(origin, ex, ey, nrm, width, height, from_point):
     diff = v4 - w4
     m4 = jnp.stack([y0, x1, y1, x0], axis=-1)
     nz_ = m4 * diff
-    denom = jnp.sqrt(diff * diff * (z0 * z0)[..., None] + nz_ * nz_)
-    nz = nz_ / jnp.where(denom == 0, 1.0, denom)
+    denom = jnp.sqrt(jnp.maximum(diff * diff * (z0 * z0)[..., None]
+                                 + nz_ * nz_, 1e-20))
+    nz = nz_ / denom
 
     def sacos(a):
-        return jnp.arccos(jnp.clip(a, -1.0, 1.0))
+        # clamp strictly inside (-1, 1): d/dx arccos is infinite at the poles
+        # and masked lanes would turn 0*inf into NaN in the backward pass
+        return jnp.arccos(jnp.clip(a, -1.0 + 1e-7, 1.0 - 1e-7))
 
     g0 = sacos(-nz[..., 0] * nz[..., 1])
     g1 = sacos(-nz[..., 1] * nz[..., 2])
@@ -154,14 +216,17 @@ def _sample_area_plane(data, from_point, is_entering, u1, u2):
     sq = _compute_sq(origin, ex, ey, nrm, width, height, from_point)
 
     au = u1 * sq["s"] + sq["k"]
-    fu = (jnp.cos(au) * sq["b0"] - sq["b1"]) / jnp.sin(au)
-    cu_d = jnp.sqrt(fu * fu + sq["b0"] * sq["b0"])
-    cu = jnp.clip(jnp.copysign(1.0, fu) / jnp.where(cu_d == 0, 1.0, cu_d), -1.0, 1.0)
+    sin_au = jnp.sin(au)
+    sin_au = jnp.where(jnp.abs(sin_au) < 1e-12,
+                       jnp.copysign(1e-12, sin_au), sin_au)
+    fu = (jnp.cos(au) * sq["b0"] - sq["b1"]) / sin_au
+    cu_d = jnp.sqrt(jnp.maximum(fu * fu + sq["b0"] * sq["b0"], 1e-20))
+    cu = jnp.clip(jnp.copysign(1.0, fu) / cu_d, -1.0, 1.0)
     xu = jnp.clip(-(cu * sq["z0"]) / jnp.sqrt(jnp.maximum(1.0 - cu * cu, 1e-20)),
                   sq["x0"], sq["x1"])
-    d = jnp.sqrt(xu * xu + sq["z0"] * sq["z0"])
-    h0 = sq["y0"] / jnp.sqrt(d * d + sq["y0"] * sq["y0"])
-    h1 = sq["y1"] / jnp.sqrt(d * d + sq["y1"] * sq["y1"])
+    d = jnp.sqrt(jnp.maximum(xu * xu + sq["z0"] * sq["z0"], 1e-20))
+    h0 = sq["y0"] / jnp.sqrt(jnp.maximum(d * d + sq["y0"] * sq["y0"], 1e-20))
+    h1 = sq["y1"] / jnp.sqrt(jnp.maximum(d * d + sq["y1"] * sq["y1"], 1e-20))
     hv = h0 + u2 * (h1 - h0)
     hv2 = hv * hv
     yv = jnp.where(hv2 < 1.0 - 1e-6,
@@ -174,7 +239,7 @@ def _sample_area_plane(data, from_point, is_entering, u1, u2):
     weight = sq["s"]
 
     dir_ = p - from_point
-    dist = length(dir_)
+    dist = _safe_len(dir_)
     dirn = dir_ * safe_div(1.0, dist)[..., None]
     cos = dot(dirn, nrm) * jnp.where(is_entering, -1.0, 1.0)
     return dict(dir=dirn, dist=dist, cos=cos, pos=p,
@@ -198,7 +263,7 @@ def _sample_area_mesh(data, tables, from_point, is_entering, u1, u2):
     e1 = tables["tri_e1"][t]
     e2 = tables["tri_e2"][t]
     nraw = cross(e1, e2)
-    nlen = length(nraw)
+    nlen = _safe_len(nraw)
     area = 0.5 * nlen
     face_n = nraw * safe_div(1.0, nlen)[..., None]
     inv_area = safe_div(1.0, area)
@@ -207,7 +272,7 @@ def _sample_area_mesh(data, tables, from_point, is_entering, u1, u2):
     weight = tri_count / jnp.where(inv_area == 0, 1.0, inv_area)
 
     dir_ = p - from_point
-    dist = length(dir_)
+    dist = _safe_len(dir_)
     dirn = dir_ * safe_div(1.0, dist)[..., None]
     cos = dot(dirn, face_n) * jnp.where(is_entering, -1.0, 1.0)
     d2 = dist * dist
@@ -217,18 +282,26 @@ def _sample_area_mesh(data, tables, from_point, is_entering, u1, u2):
                 pdf_solid=pdfv * safe_div(d2, jnp.abs(cos)))
 
 
-def _env_func(data, d_world):
-    """Constant/naive env radiance (no texture yet): scale*radiance."""
-    trans = data[:, 3:12].reshape(data.shape[0], 3, 3)
-    # func(transform @ dir); constant color ignores direction for now
-    return data[:, 0:3]
+def _env_radiance(scene, tables, info, data, uv):
+    """scale*radiance at env uv (texture or constant)."""
+    base = data[0:3]
+    if getattr(info, "tex", -1) >= 0:
+        from ignis_tpu.texture.eval import eval_one
+        tex = eval_one(scene, tables, scene.textures[info.tex], uv)
+        return tex * base  # base holds scale for textured lights
+    return jnp.broadcast_to(base, uv.shape[:-1] + (3,))
 
 
-def _sample_env(data, from_point, scene_radius, u1, u2):
+def _sample_env(scene, tables, info, data, from_point, scene_radius, u1, u2):
     """make_environment_light_function_spherical (light/env.art:76-103)."""
+    from ignis_tpu.light.env_cdf import map_env_uv, switch_env_up
     d = equal_area_square_to_sphere(u1, u2)
     pdf = jnp.broadcast_to(equal_area_sphere_pdf(), u1.shape)
-    intensity = _env_func(data, d) * safe_div(1.0, pdf)[..., None]
+    trans = data[3:12].reshape(3, 3)
+    ldir = d @ trans.T  # mat3x3_mul(transform, dir)
+    uv = map_env_uv(switch_env_up(ldir))
+    intensity = (_env_radiance(scene, tables, info, data, uv)
+                 * safe_div(1.0, pdf)[..., None])
     return dict(dir=d, dist=jnp.full(u1.shape, scene_radius, jnp.float32),
                 cos=jnp.ones_like(u1),
                 pos=from_point + d * scene_radius,
@@ -236,10 +309,32 @@ def _sample_env(data, from_point, scene_radius, u1, u2):
                 pdf_value=pdf, pdf_solid=pdf)
 
 
+def _sample_env_cdf(scene, tables, info, data, lid, from_point, scene_radius,
+                    u1, u2):
+    """make_environment_light_textured.sample_direct (light/env.art:112-140)."""
+    from ignis_tpu.light.env_cdf import (
+        cdf2d_sample, sin_theta_of, switch_env_up, uv_to_dir)
+    marg = tables[f"light{lid}_cdf_m"]
+    cond = tables[f"light{lid}_cdf_c"]
+    pos, pdf = cdf2d_sample(marg, cond, u1, u2)
+    intensity = _env_radiance(scene, tables, info, data, pos)
+    dz = uv_to_dir(pos)
+    sin_t = sin_theta_of(dz)
+    pdf_dir = safe_div(pdf, sin_t * jnp.float32(2.0) * PI * PI)
+    trans = data[3:12].reshape(3, 3)
+    wdir = switch_env_up(dz) @ trans  # mat3x3_left_mul = transpose mult
+    return dict(dir=wdir, dist=jnp.full(u1.shape, scene_radius, jnp.float32),
+                cos=jnp.ones_like(u1),
+                pos=from_point + wdir * scene_radius,
+                intensity=intensity * safe_div(1.0, pdf_dir)[..., None],
+                pdf_value=pdf_dir, pdf_solid=pdf_dir)
+
+
 # draw counts per light type (sample_direct)
 _LIGHT_DRAWS = {
     LIGHT_POINT: 0, LIGHT_DIRECTIONAL: 0, LIGHT_SPOT: 0,
     LIGHT_AREA_PLANE: 2, LIGHT_AREA_MESH: 2, LIGHT_ENV: 2,
+    LIGHT_ENV_CDF: 2,
 }
 
 
@@ -274,14 +369,30 @@ def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
     draws = jnp.zeros((n,), dtype=jnp.uint32)
 
     for t in types_present:
+        if t in (LIGHT_ENV, LIGHT_ENV_CDF):
+            # env lights carry per-light textures/CDF tables → per-light masks
+            for lid, info in enumerate(scene.lights):
+                if info.type != t:
+                    continue
+                ld = tables["light_data"][lid]
+                if t == LIGHT_ENV:
+                    r = _sample_env(scene, tables, info, ld, from_point,
+                                    scene_radius, us[0], us[1])
+                else:
+                    r = _sample_env_cdf(scene, tables, info, ld, lid,
+                                        from_point, scene_radius, us[0], us[1])
+                m = light_idx == lid
+                for k in out:
+                    out[k] = jnp.where(m[..., None] if out[k].ndim == 2 else m,
+                                       r[k], out[k])
+                draws = jnp.where(m, jnp.uint32(2), draws)
+            continue
         if t == LIGHT_POINT:
             r = _sample_point(data, from_point)
         elif t == LIGHT_AREA_PLANE:
             r = _sample_area_plane(data, from_point, is_entering, us[0], us[1])
         elif t == LIGHT_AREA_MESH:
             r = _sample_area_mesh(data, tables, from_point, is_entering, us[0], us[1])
-        elif t == LIGHT_ENV:
-            r = _sample_env(data, from_point, scene_radius, us[0], us[1])
         elif t == LIGHT_DIRECTIONAL:
             r = _sample_directional(data, from_point, scene_radius)
         elif t == LIGHT_SPOT:
@@ -354,11 +465,24 @@ def env_emission_and_pdf(scene, tables, light_id, ray_dir):
     """
     info = scene.lights[light_id]
     data = tables["light_data"][light_id]
+    from ignis_tpu.light.env_cdf import map_env_uv, switch_env_up
     if info.type == LIGHT_ENV:
         trans = data[3:12].reshape(3, 3)
-        # emission = func(transform @ ray.dir); constant radiance for now
-        color = jnp.broadcast_to(data[0:3], ray_dir.shape)
+        ldir = switch_env_up(ray_dir @ trans.T)
+        uv = map_env_uv(ldir)
+        color = _env_radiance(scene, tables, info, data, uv)
         pdf = jnp.broadcast_to(equal_area_sphere_pdf(), ray_dir.shape[:-1])
+        return color, pdf
+    if info.type == LIGHT_ENV_CDF:
+        from ignis_tpu.light.env_cdf import cdf2d_pdf, sin_theta_of
+        trans = data[3:12].reshape(3, 3)
+        ldir = switch_env_up(ray_dir @ trans.T)
+        uv = map_env_uv(ldir)
+        color = _env_radiance(scene, tables, info, data, uv)
+        marg = tables[f"light{light_id}_cdf_m"]
+        cond = tables[f"light{light_id}_cdf_c"]
+        pdf_uv = cdf2d_pdf(marg, cond, uv)
+        pdf = safe_div(pdf_uv, sin_theta_of(ldir) * jnp.float32(2.0) * PI * PI)
         return color, pdf
     # delta infinite lights (directional/sun) are never hit by chance
     zero = jnp.zeros(ray_dir.shape, jnp.float32)

@@ -20,6 +20,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices=None, axis="rays", devices=None):
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"Requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are visible; for virtual CPU "
+                f"meshes set XLA_FLAGS=--xla_force_host_platform_device_count"
+                f"=<n> and pin jax.config.update('jax_platforms', 'cpu') "
+                f"before first jax use")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

@@ -38,6 +38,7 @@ from ignis_tpu.light import (
     env_emission_and_pdf, light_pdf_direct_solid, sample_light_direct,
     select_light_uniform,
 )
+from ignis_tpu.light.union import select_light
 from ignis_tpu.ops.intersect import intersect_any, intersect_closest
 from ignis_tpu.render.camera import generate_rays, pixel_coord_from_xy
 
@@ -137,14 +138,40 @@ def _surface_at(tables, prim, org, direction, t, u, v):
                 prim_coords=jnp.stack([u, v], axis=-1))
 
 
+def _pexpr_ctx(tables, surf, org, d):
+    """Lane context for PExpr-valued properties (Transpiler.cpp:261-287)."""
+    ent = surf["ent"]
+    lm = tables["ent_local_mat"][ent]           # (N, 3, 4)
+    lp = jnp.einsum("nij,nj->ni", lm[:, :, :3], surf["point"]) + lm[:, :, 3]
+    lo = tables["ent_lbbox_min"][ent]
+    hi = tables["ent_lbbox_max"][ent]
+    ext = hi - lo
+    np_ = jnp.where(ext == 0, 0.0, (lp - lo) / jnp.where(ext == 0, 1.0, ext))
+    return dict(uv=surf["tex"],
+                uvw=jnp.concatenate(
+                    [surf["tex"], jnp.zeros(surf["tex"].shape[:-1] + (1,),
+                                            jnp.float32)], axis=-1),
+                prim_coords=surf["prim_coords"], P=surf["point"], Np=np_,
+                V=-d, Ro=org, N=surf["n"], Ng=surf["ng"], Nx=surf["t"],
+                Ny=surf["b"], frontside=surf["is_entering"],
+                entity_id=surf["ent"])
+
+
 def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
     """One wavefront bounce for all lanes of `st`.
 
     st keys: org, dir, tmin, tmax, alive, seed, counter, inv_pdf, contrib,
-    depth, eta.  Returns (splat (N,3), st_next) — splat holds this bounce's
-    radiance contributions (miss/emissive/NEE) for alive lanes.
+    depth, eta (+ medium, voldepth under volpath).  Returns (splat (N,3),
+    st_next) — splat holds this bounce's radiance contributions
+    (miss/emissive/NEE) for alive lanes.
+
+    With technique `volpath` the bounce additionally performs homogeneous
+    medium transport (src/artic/technique/volpathtracer.art): transmittance on
+    every contribution, distance-sampled absorption/scatter events, and
+    medium-interface tracking on transmissive surface bounces.
     """
     tech = scene.technique
+    is_vol = tech.type == "volpath"
     num_lights = scene.num_lights
     sel_pdf_const = (jnp.float32(1.0 / num_lights) if num_lights > 0
                      else jnp.float32(1.0))
@@ -167,25 +194,46 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
     miss = alive & ~hit
     splat = jnp.zeros((n, 3), jnp.float32)
 
+    # ---- surface for hit lanes (miss lanes carry t = FLT_MAX → clamp so the
+    # masked-lane surface stays finite; inf would leak NaNs into the backward
+    # pass through 0 * inf cotangents)
+    prim_s = jnp.maximum(prim, 0)
+    t_safe = jnp.where(hit, t, 1.0)
+    surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
+    mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
+    specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
+    surf["colors"], surf["scalars"] = material_params(scene, tables, surf)
+
+    # ---- medium coefficients of each lane's current medium (volpath)
+    if is_vol:
+        from ignis_tpu.medium import (
+            medium_coefficients, medium_eval, medium_eval_inf)
+        med = st["medium"]
+        mctx = _pexpr_ctx(tables, surf, org, d)
+        m_sa, m_ss, m_g = medium_coefficients(scene, tables, med, mctx)
+        hitvol = medium_eval(m_sa, m_ss, med, org, surf["point"])
+        inf_tr = medium_eval_inf(m_sa, m_ss, med, org, d)
+        was_medium = jnp.signbit(inv_pdf)
+        inv_pdf_eff = jnp.maximum(inv_pdf, 0.0)
+    else:
+        hitvol = jnp.ones((n, 3), jnp.float32)
+        inf_tr = jnp.ones((n, 3), jnp.float32)
+        was_medium = jnp.zeros((n,), bool)
+        inv_pdf_eff = inv_pdf
+
     # ---- on_miss: infinite, non-delta lights (pathtracer.art:137-162)
     if inf_ids:
         miss_color = jnp.zeros((n, 3), jnp.float32)
         for lid in inf_ids:
             emit, pdf_s = env_emission_and_pdf(scene, tables, lid, d)
             if tech.enable_nee and num_lights > 0:
-                mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
+                lpdf = tables["light_sel_pdf"][lid]
+                mis = 1.0 / (1.0 + inv_pdf_eff * lpdf * pdf_s)
             else:
                 mis = jnp.ones((n,), jnp.float32)
             miss_color = miss_color + _handle_color(
-                contrib * emit * mis[..., None], tech.clamp)
+                contrib * emit * inf_tr * mis[..., None], tech.clamp)
         splat = splat + jnp.where(miss[..., None], miss_color, 0.0)
-
-    # ---- surface for hit lanes
-    prim_s = jnp.maximum(prim, 0)
-    surf = _surface_at(tables, prim_s, org, d, t, u, v)
-    mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
-    specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
-    surf["colors"], surf["scalars"] = material_params(scene, tables, surf)
 
     # ---- on_hit: emissive surfaces (pathtracer.art:115-135)
     if any(l.type in (1, 2, 8) for l in scene.lights):
@@ -193,23 +241,25 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         dot_n = -dot(d, surf["n"])
         lidx = jnp.maximum(surf["light_id"], 0)
         pdf_s = light_pdf_direct_solid(
-            scene, tables, lidx, org, d, t, -dot(d, surf["ng"]),
+            scene, tables, lidx, org, d, t_safe, -dot(d, surf["ng"]),
             surf["prim_coords"], is_emissive)
         radiance = _area_light_radiance(scene, tables, lidx)
         if tech.enable_nee:
-            mis = 1.0 / (1.0 + inv_pdf * sel_pdf_const * pdf_s)
+            lpdf = tables["light_sel_pdf"][lidx]
+            mis = 1.0 / (1.0 + inv_pdf_eff * lpdf * pdf_s)
         else:
             mis = jnp.ones((n,), jnp.float32)
         emit_ok = hit & is_emissive & surf["is_entering"] & (dot_n > FLT_EPS)
-        ec = _handle_color(contrib * radiance * mis[..., None], tech.clamp)
+        ec = _handle_color(contrib * radiance * hitvol * mis[..., None],
+                           tech.clamp)
         splat = splat + jnp.where(emit_ok[..., None], ec, 0.0)
 
     # ---- on_shadow: NEE (pathtracer.art:52-113)
     do_nee = (tech.enable_nee and num_lights > 0)
     if do_nee:
         nee_active = hit & ~specular & (depth + 1 <= tech.max_depth)
-        lsel, sel_pdf, counter = select_light_uniform(
-            num_lights, seed, counter, nee_active)
+        lsel, sel_pdf, counter = select_light(
+            scene, tables, seed, counter, nee_active)
         ls, counter = sample_light_direct(
             scene, tables, lsel, surf["point"], surf["is_entering"],
             seed, counter, nee_active)
@@ -217,7 +267,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         out_dir = -d
         pdf_e_s = bsdf_pdf(scene.bsdf_types, tables, mat_type, surf,
                            ls["dir"], out_dir)
-        mis = jnp.where(ls["delta"], 1.0,
+        mis = jnp.where(ls["delta"] | was_medium, 1.0,
                         1.0 / (1.0 + safe_div(pdf_e_s, pdf_l_s)))
         factor = safe_div(ls["pdf_value"], pdf_l_s)
         bsdf_c = bsdf_eval(scene.bsdf_types, tables, mat_type, surf,
@@ -225,6 +275,14 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         sc = _handle_color(
             ls["intensity"] * contrib * bsdf_c * (mis * factor)[..., None],
             tech.clamp)
+        if is_vol:
+            # attenuate by transmittance to this hit + toward the light
+            # (volpathtracer.art:40-83)
+            from ignis_tpu.medium import medium_eval, medium_eval_inf
+            seg_fin = medium_eval(m_sa, m_ss, med, surf["point"], ls["pos"])
+            seg_inf = medium_eval_inf(m_sa, m_ss, med, surf["point"], ls["dir"])
+            seg = jnp.where(ls["infinite"][..., None], seg_inf, seg_fin)
+            sc = sc * hitvol * seg
         shadow_valid = (nee_active & (pdf_l_s > FLT_EPS)
                         & (ls["cos"] > FLT_EPS))
         shadow_contrib = jnp.where(shadow_valid[..., None], sc, 0.0)
@@ -233,26 +291,113 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         s_dir = jnp.where(ls["infinite"][..., None], ls["dir"], finite_dir)
         s_tmax = jnp.where(ls["infinite"], FLT_MAX, 1.0 - OFFSET)
 
-    # ---- on_bounce (pathtracer.art:166-200)
+    # ---- on_bounce (pathtracer.art:166-200 / volpathtracer.art:155-296)
     can_bounce = hit & (depth + 1 <= tech.max_depth)
     out_dir = -d
-    in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
-        scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
-        active=can_bounce)
-    new_contrib = contrib * b_weight
-    # russian roulette (pbrt v4 variant, pathtracer.art:5, :185); detached —
-    # a sampling decision, not part of the integrand (path-replay gradients).
-    rr_base = jnp.max(new_contrib * (eta * eta)[..., None], axis=-1)
-    rr_prob = jnp.where(depth + 1 > tech.min_depth,
-                        jnp.clip(rr_base, 0.05, 0.95), 1.0)
-    rr_prob = jax.lax.stop_gradient(rr_prob)
-    u_rr, counter_rr = rng.next_f32(seed, counter)
-    rr_draw = can_bounce & b_valid
-    counter = jnp.where(rr_draw, counter_rr, counter)
-    survive = u_rr < rr_prob
-    alive_next = rr_draw & survive
-    contrib_next = new_contrib * safe_div(1.0, rr_prob)[..., None]
-    inv_pdf_next = jnp.where(specular, 0.0, safe_div(1.0, b_pdf))
+
+    if is_vol:
+        from ignis_tpu.medium import medium_eval, medium_sample, phase_sample
+        voldepth = st["voldepth"]
+        max_scat = max([m.get("max_scattering", 8)
+                        for m in scene.media] + [8])
+        allow_medium = voldepth + 1 <= max_scat
+        ms, counter = medium_sample(m_sa, m_ss, med, seed, counter, org,
+                                    surf["point"],
+                                    can_bounce & allow_medium)
+        medium_event = ms["valid"]
+
+        # particle event probabilities (volpathtracer/common.art:39-52)
+        sigma_t = m_sa + m_ss
+        lanes = jnp.arange(n)
+        mu_ind = jnp.argmax(sigma_t, axis=-1)
+        mu_t_p = jnp.maximum(sigma_t[lanes, mu_ind], 1e-30)
+        mu_a_p = m_sa[lanes, mu_ind]
+        mu_s_p = m_ss[lanes, mu_ind]
+        p_a = jnp.where(mu_a_p <= FLT_EPS, 0.0, mu_a_p / mu_t_p)
+        p_s = jnp.where(mu_s_p <= FLT_EPS, 0.0, mu_s_p / mu_t_p)
+
+        r_ev, counter_ev = rng.next_f32(seed, counter)
+        counter = jnp.where(medium_event, counter_ev, counter)
+        absorb = medium_event & (r_ev < p_a)
+        scatter = medium_event & ~absorb & (r_ev < p_a + p_s)
+        # (homogeneous media have no null-scattering: p_f = 0)
+
+        # scatter branch: phase sample + RR
+        ph_dir, ph_pdf, ph_w, counter = phase_sample(m_g, seed, counter,
+                                                     out_dir, scatter)
+        path_contrib = (ms["color"] * m_ss
+                        * safe_div(1.0, jnp.maximum(p_s, 1e-30))[..., None]
+                        * ph_w[..., None])
+        contrib_m = contrib * path_contrib
+        rr_m = jax.lax.stop_gradient(jnp.clip(
+            jnp.max(contrib_m * (eta * eta)[..., None], axis=-1), 0.05, 0.95))
+        u_rr_m, c_rr_m = rng.next_f32(seed, counter)
+        counter = jnp.where(scatter, c_rr_m, counter)
+        scatter_alive = scatter & (u_rr_m < rr_m)
+
+        # surface branch: attenuated background when the volume depth is
+        # exhausted (transmittance eval), plain pass otherwise (weight white)
+        surf_branch = can_bounce & ~medium_event
+        in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
+            scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+            active=surf_branch)
+        vol_trans = jnp.where(allow_medium[..., None], 1.0, hitvol)
+        contrib_s = contrib * vol_trans * b_weight
+        rr_s = jnp.where(specular, 1.0, jnp.clip(
+            jnp.max(contrib_s * (eta * eta)[..., None], axis=-1), 0.05, 0.95))
+        rr_s = jax.lax.stop_gradient(rr_s)
+        u_rr_s, c_rr_s = rng.next_f32(seed, counter)
+        counter = jnp.where(surf_branch & b_valid, c_rr_s, counter)
+        surf_alive = surf_branch & b_valid & (u_rr_s < rr_s)
+        # medium interface crossing (volpathtracer.art:183-186,274-276)
+        is_transmission = jnp.signbit(dot(surf["n"], in_dir))
+        inner = tables["ent_inner_medium"][surf["ent"]]
+        outer = tables["ent_outer_medium"][surf["ent"]]
+        picked = jnp.where(surf["is_entering"], inner, outer)
+        med_s = jnp.where(is_transmission, picked, med)
+        depth_s = jnp.where(is_transmission, depth, depth + 1)
+        voldepth_s = jnp.where(is_transmission, 0, voldepth)
+
+        alive_next = scatter_alive | surf_alive
+        sc_c = scatter_alive[..., None]
+        org_next = jnp.where(sc_c, ms["pos"], surf["point"])
+        dir_next = jnp.where(sc_c, ph_dir, in_dir)
+        tmin_next = jnp.where(scatter_alive, 0.0, OFFSET)
+        contrib_next = jnp.where(
+            sc_c, contrib_m * safe_div(1.0, rr_m)[..., None],
+            contrib_s * safe_div(1.0, rr_s)[..., None])
+        inv_pdf_next = jnp.where(scatter_alive, -1.0,
+                                 jnp.where(specular, 0.0,
+                                           safe_div(1.0, b_pdf)))
+        depth_next = jnp.where(scatter_alive, depth, depth_s)
+        voldepth_next = jnp.where(scatter_alive, voldepth + 1, voldepth_s)
+        eta_next = jnp.where(scatter_alive, eta, eta * b_eta)
+        med_next = jnp.where(scatter_alive, med, med_s)
+    else:
+        in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
+            scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+            active=can_bounce)
+        new_contrib = contrib * b_weight
+        # russian roulette (pbrt v4 variant, pathtracer.art:5, :185);
+        # detached — a sampling decision, not part of the integrand.
+        rr_base = jnp.max(new_contrib * (eta * eta)[..., None], axis=-1)
+        rr_prob = jnp.where(depth + 1 > tech.min_depth,
+                            jnp.clip(rr_base, 0.05, 0.95), 1.0)
+        rr_prob = jax.lax.stop_gradient(rr_prob)
+        u_rr, counter_rr = rng.next_f32(seed, counter)
+        rr_draw = can_bounce & b_valid
+        counter = jnp.where(rr_draw, counter_rr, counter)
+        survive = u_rr < rr_prob
+        alive_next = rr_draw & survive
+        org_next = surf["point"]
+        dir_next = in_dir
+        tmin_next = jnp.full((n,), OFFSET, jnp.float32)
+        contrib_next = new_contrib * safe_div(1.0, rr_prob)[..., None]
+        inv_pdf_next = jnp.where(specular, 0.0, safe_div(1.0, b_pdf))
+        depth_next = depth + 1
+        voldepth_next = st.get("voldepth", jnp.zeros((n,), jnp.int32))
+        eta_next = eta * b_eta
+        med_next = st.get("medium", jnp.full((n,), -1, jnp.int32))
 
     # ---- trace shadow rays & splat (mapping on_shadow_miss)
     if do_nee:
@@ -263,28 +408,46 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
                                   shadow_contrib, 0.0)
 
     st_next = dict(
-        org=jnp.where(alive_next[..., None], surf["point"], org),
-        dir=jnp.where(alive_next[..., None], in_dir, d),
-        tmin=jnp.where(alive_next, OFFSET, st["tmin"]),
+        org=jnp.where(alive_next[..., None], org_next, org),
+        dir=jnp.where(alive_next[..., None], dir_next, d),
+        tmin=jnp.where(alive_next, tmin_next, st["tmin"]),
         tmax=jnp.where(alive_next, FLT_MAX, st["tmax"]),
         alive=alive_next,
         seed=seed,
         counter=counter,
         inv_pdf=jnp.where(alive_next, inv_pdf_next, inv_pdf),
         contrib=jnp.where(alive_next[..., None], contrib_next, contrib),
-        depth=jnp.where(alive_next, depth + 1, depth),
-        eta=jnp.where(alive_next, eta * b_eta, eta),
+        depth=jnp.where(alive_next, depth_next, depth),
+        eta=jnp.where(alive_next, eta_next, eta),
+        medium=jnp.where(alive_next, med_next,
+                         st.get("medium", jnp.full((n,), -1, jnp.int32))),
+        voldepth=jnp.where(alive_next, voldepth_next,
+                           st.get("voldepth", jnp.zeros((n,), jnp.int32))),
     )
     return splat, st_next
 
 
-def _emit_camera(scene, x, y, sample, iteration, frame, user_seed):
+def _emit_camera(scene, x, y, sample, iteration, frame, user_seed,
+                 tables=None, spi=1):
     """Camera emitter (driver/emitter.art:6-16): seed, sampler draws, ray."""
     n = x.shape[0]
     seed = rng.create_seed(sample, iteration, frame, x, y, jnp.uint32(user_seed))
     counter = jnp.full((n,), 1, dtype=jnp.uint32)
-    rx, counter = rng.next_f32(seed, counter)
-    ry, counter = rng.next_f32(seed, counter)
+    sampler = scene.sampler
+    # sample index for low-discrepancy samplers (emitter.art:9: iter*spi+sample)
+    spp_index = (iteration.astype(jnp.int32) * jnp.int32(spi)
+                 + sample.astype(jnp.int32))
+    if sampler in ("mjitt", "multijitt", "multijittered"):
+        from ignis_tpu.render.sampler import sample_mjitt
+        rx, ry, counter = sample_mjitt(seed, counter, spp_index, x, y)
+    elif sampler == "halton" and tables is not None and \
+            "halton_offsets" in tables:
+        from ignis_tpu.render.sampler import sample_halton
+        rx, ry = sample_halton(scene.halton_setup, tables["halton_offsets"],
+                               spp_index, x, y, scene.width)
+    else:  # independent/uniform
+        rx, counter = rng.next_f32(seed, counter)
+        ry, counter = rng.next_f32(seed, counter)
     nx, ny = pixel_coord_from_xy(x, y, scene.width, scene.height, rx, ry)
     org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny)
     return seed, counter, org, direction, tmin, tmax
@@ -305,9 +468,16 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
     tech = scene.technique
     n = x.shape[0]
 
+    if tech.type in ("debug", "ao", "wireframe", "lightvisibility",
+                     "camera_check", "infobuffer"):
+        from ignis_tpu.render.techniques import simple_technique_wave
+        return simple_technique_wave(scene, tables, x, y, sample, iteration,
+                                     frame, user_seed, org, direction,
+                                     tmin, tmax)
+
     if org is None:
         seed, counter, org, direction, tmin, tmax = _emit_camera(
-            scene, x, y, sample, iteration, frame, user_seed)
+            scene, x, y, sample, iteration, frame, user_seed, tables)
     else:
         seed = rng.create_seed(sample, iteration, frame, x, y,
                                jnp.uint32(user_seed))
@@ -321,6 +491,8 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         contrib=jnp.ones((n, 3), jnp.float32),
         depth=jnp.ones((n,), jnp.int32),
         eta=jnp.ones((n,), jnp.float32),
+        medium=jnp.full((n,), -1, jnp.int32),
+        voldepth=jnp.zeros((n,), jnp.int32),
         accum=jnp.zeros((n, 3), jnp.float32),
         bounce_index=jnp.int32(0),
     )
@@ -357,7 +529,7 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
 
 
 def render_wavefront(scene, tables, work_x, work_y, work_sample,
-                     iteration, frame, user_seed, capacity):
+                     iteration, frame, user_seed, capacity, spi=1):
     """Render a full work list through a fixed-capacity regenerating wave.
 
     work_*: (W,) per-work-item pixel x/y and sample index.  Returns the
@@ -392,6 +564,8 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         contrib=jnp.ones((c, 3), jnp.float32),
         depth=jnp.ones((c,), jnp.int32),
         eta=jnp.ones((c,), jnp.float32),
+        medium=jnp.full((c,), -1, jnp.int32),
+        voldepth=jnp.zeros((c,), jnp.int32),
         pixel=jnp.zeros((c,), jnp.int32),
         next_work=jnp.int32(0),
         fb=jnp.zeros((npix, 3), jnp.float32),
@@ -408,7 +582,7 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         gy = work_y[wid_c]
         gs = work_sample[wid_c]
         seed_n, counter_n, org_n, dir_n, tmin_n, tmax_n = _emit_camera(
-            scene, gx, gy, gs, iteration, frame, user_seed)
+            scene, gx, gy, gs, iteration, frame, user_seed, tables, spi)
 
         sel = take[..., None]
         st = dict(st)
@@ -422,6 +596,8 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st["contrib"] = jnp.where(sel, 1.0, st["contrib"])
         st["depth"] = jnp.where(take, 1, st["depth"])
         st["eta"] = jnp.where(take, 1.0, st["eta"])
+        st["medium"] = jnp.where(take, -1, st["medium"])
+        st["voldepth"] = jnp.where(take, 0, st["voldepth"])
         st["pixel"] = jnp.where(take, gy * scene.width + gx, st["pixel"])
         st["alive"] = st["alive"] | take
         st["next_work"] = st["next_work"] + jnp.sum(take.astype(jnp.int32))

@@ -145,6 +145,7 @@ class LightInfo:
     tri_offset: int = 0        # into light-triangle arrays (mesh area)
     tri_count: int = 0
     draws: int = 2             # rnd draws consumed by sample_direct
+    tex: int = -1              # env radiance texture id (-1 = constant)
 
 
 @dataclass(eq=False)  # identity hash: used as a static jit argument
@@ -163,6 +164,7 @@ class CompiledScene:
     entity_names: list = field(default_factory=list)
     material_names: list = field(default_factory=list)
     textures: list = field(default_factory=list)
+    media: list = field(default_factory=list)
 
     @property
     def num_lights(self):
@@ -377,6 +379,10 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     ent_tri_offset = np.zeros(max(1, num_entities), dtype=np.int32)
     ent_tri_count = np.zeros(max(1, num_entities), dtype=np.int32)
     ent_plane = {}   # entity id -> (origin, x_axis, y_axis, normal, area) if plane shape
+    ent_local_mat = np.tile(np.eye(3, 4, dtype=np.float32),
+                            (max(1, num_entities), 1, 1))
+    ent_lbbox_min = np.zeros((max(1, num_entities), 3), np.float32)
+    ent_lbbox_max = np.ones((max(1, num_entities), 3), np.float32)
     offset = 0
     for ei, ename in enumerate(ent_names):
         eobj = scene.entities[ename]
@@ -386,6 +392,13 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         mesh = shape_meshes[sname]
         m4 = parse_transform(eobj.get("transform"))
         world = mesh.transformed(m4)
+        # world→local matrix + local shape bbox (for Np normalization,
+        # driver/pointmapper.art:4-7)
+        inv = np.linalg.inv(m4)
+        ent_local_mat[ei] = inv[:3, :].astype(np.float32)
+        if mesh.vertices.size:
+            ent_lbbox_min[ei] = mesh.vertices.min(axis=0)
+            ent_lbbox_max[ei] = mesh.vertices.max(axis=0)
         v0 = world.vertices[world.indices[:, 0]]
         v1 = world.vertices[world.indices[:, 1]]
         v2 = world.vertices[world.indices[:, 2]]
@@ -435,9 +448,50 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         bbox_min = np.zeros(3, np.float32)
         bbox_max = np.zeros(3, np.float32)
 
+    # ---- media (LoaderMedium.cpp; homogeneous/vacuum; heterogeneous TODO)
+    media: list[dict] = []
+    media_index: dict[str, int] = {}
+    nmed = max(1, len(scene.media_order))
+    medium_data = np.zeros((nmed, 8), dtype=np.float32)
+    for mi, mname in enumerate(scene.media_order):
+        mobj = scene.media[mname]
+        mtype = mobj.get("type", "homogeneous")
+        rec = dict(name=mname, type=mtype,
+                   sigma_a_expr=None, sigma_s_expr=None,
+                   max_scattering=int(mobj.get("max_scattering", 8)))
+        if mtype in ("constant", "homogeneous"):
+            sa = mobj.get("sigma_a", [0, 0, 0])
+            ss = mobj.get("sigma_s", [0, 0, 0])
+            if isinstance(sa, str):
+                rec["sigma_a_expr"] = sa
+            else:
+                medium_data[mi, 0:3], _ = _color(sa, (0, 0, 0))
+            if isinstance(ss, str):
+                rec["sigma_s_expr"] = ss
+            else:
+                medium_data[mi, 3:6], _ = _color(ss, (0, 0, 0))
+            medium_data[mi, 6], _ = _number(mobj.get("g"), 0.0)
+        elif mtype == "vacuum":
+            rec["type"] = "vacuum"
+        else:
+            import warnings
+            warnings.warn(f"Medium type '{mtype}' not supported yet; "
+                          f"treating '{mname}' as vacuum")
+            rec["type"] = "vacuum"
+        media.append(rec)
+        media_index[mname] = mi
+
+    ent_inner_medium = np.full(max(1, num_entities), -1, dtype=np.int32)
+    ent_outer_medium = np.full(max(1, num_entities), -1, dtype=np.int32)
+    for ei, ename in enumerate(ent_names):
+        eobj = scene.entities[ename]
+        ent_inner_medium[ei] = media_index.get(eobj.get("inner_medium", ""), -1)
+        ent_outer_medium[ei] = media_index.get(eobj.get("outer_medium", ""), -1)
+
     # ---- lights
     lights: list[LightInfo] = []
     light_f = []  # generic per-light float rows
+    light_extra = {}  # per-light named tables (env CDFs, ...)
     ent_light = np.full(max(1, num_entities), -1, dtype=np.int32)
 
     def lrow(*vals):
@@ -486,8 +540,23 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             scale, _ = _color(lobj.get("scale"), (1, 1, 1))
             tr = parse_transform(lobj.get("transform")) if "transform" in lobj else np.eye(4)
             trans = np.linalg.inv(tr[:3, :3]).T  # as in EnvironmentLight.cpp:45
-            lights.append(LightInfo(LIGHT_ENV, lname, True, False, draws=2))
-            light_f.append(lrow(rad * scale, trans.reshape(-1)))
+            tid = tex_of(tex) if isinstance(tex, str) else -1
+            use_cdf = bool(lobj.get("cdf", True))
+            if tid >= 0 and use_cdf:
+                # bake + 2D CDF (EnvironmentLight.cpp:47-66)
+                from ignis_tpu.light.env_cdf import build_cdf2d
+                img = _bake_texture(textures, img_tables, tid)
+                m, c = build_cdf2d(img, premultiply_sin=True,
+                                   compensate=bool(lobj.get("compensate", True)))
+                light_extra[f"light{lid}_cdf_m"] = m
+                light_extra[f"light{lid}_cdf_c"] = c
+                lights.append(LightInfo(LIGHT_ENV_CDF, lname, True, False,
+                                        draws=2, tex=tid))
+            else:
+                lights.append(LightInfo(LIGHT_ENV, lname, True, False,
+                                        draws=2, tex=tid))
+            light_f.append(lrow(scale if tid >= 0 else rad * scale,
+                                trans.reshape(-1)))
         elif ltype in ("directional", "distant"):
             d, _ = _color(lobj.get("direction"), (0, 0, 1))
             nd = np.asarray(d) / max(np.linalg.norm(d), 1e-20)
@@ -514,9 +583,61 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
 
     light_data = (np.stack(light_f) if light_f
                   else np.zeros((0, 32), dtype=np.float32))
+
+    # ---- light selection tables (LoaderLight.cpp:423-473)
+    # Selection probabilities are static per light; precompute both the
+    # finite-light CDF (flux-weighted, "simple"/"hierarchy" selectors) and the
+    # per-light selection pdf used by MIS.
+    n_l = len(lights)
+    sel_kind = technique.light_selector
+    flux = np.ones(max(1, n_l), np.float32)
+    scene_r = max(float(np.linalg.norm(bbox_max - bbox_min) * 0.5), 1e-3)
+    for li, linfo in enumerate(lights):
+        dataf = light_data[li]
+        if linfo.type == LIGHT_POINT:
+            flux[li] = float(dataf[3:6].mean()) * 4 * math.pi
+        elif linfo.type == LIGHT_SPOT:
+            flux[li] = float(dataf[6:9].mean()) * 2 * math.pi * max(
+                1 - 0.5 * (dataf[9] + dataf[10]), 1e-3)
+        elif linfo.type == LIGHT_AREA_PLANE:
+            flux[li] = float(dataf[13:16].mean()) * float(dataf[12]) * math.pi
+        elif linfo.type == LIGHT_AREA_MESH:
+            flux[li] = float(dataf[0:3].mean()) * math.pi
+        elif linfo.type in (LIGHT_ENV, LIGHT_ENV_CDF):
+            flux[li] = float(dataf[0:3].mean()) * math.pi * scene_r * scene_r
+        elif linfo.type == LIGHT_DIRECTIONAL:
+            flux[li] = float(dataf[3:6].mean()) * math.pi * scene_r * scene_r
+        flux[li] = max(flux[li], 1e-8)
+
+    finite_ids = [i for i, l in enumerate(lights) if not l.infinite]
+    inf_ids_all = [i for i, l in enumerate(lights) if l.infinite]
+    sel_pdf = np.full(max(1, n_l), 1.0, np.float32)
+    fin_cdf = np.ones(max(1, len(finite_ids)), np.float32)
+    if n_l > 1 and sel_kind in ("simple", "cdf", "hierarchy") and finite_ids:
+        fw = flux[finite_ids]
+        cdf = np.cumsum(fw / fw.sum()).astype(np.float32)
+        cdf[-1] = 1.0
+        fin_cdf = cdf
+        pdf_fin = (fw / fw.sum()).astype(np.float32)
+        if inf_ids_all:
+            ratio = 0.5
+            for k, li in enumerate(finite_ids):
+                sel_pdf[li] = pdf_fin[k] * (1 - ratio)
+            for li in inf_ids_all:
+                sel_pdf[li] = ratio / len(inf_ids_all)
+        else:
+            for k, li in enumerate(finite_ids):
+                sel_pdf[li] = pdf_fin[k]
+    elif n_l > 0:
+        sel_pdf[:n_l] = 1.0 / n_l
     light_type_arr = np.asarray([l.type for l in lights] or [0], dtype=np.int32)
     light_inf_arr = np.asarray([l.infinite for l in lights] or [False], dtype=bool)
     light_delta_arr = np.asarray([l.delta for l in lights] or [False], dtype=bool)
+
+    halton_setup = None
+    if sampler == "halton":
+        from ignis_tpu.render.sampler import build_halton_offsets
+        halton_setup = build_halton_offsets(w, h)
 
     tables = {
         "tri_v0": tri_v0.astype(np.float32), "tri_e1": tri_e1.astype(np.float32),
@@ -527,6 +648,11 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         "tri_uv2": tri_uv2.astype(np.float32),
         "tri_ent": tri_ent, "tri_prim": tri_prim,
         "ent_mat": ent_mat, "ent_light": ent_light, "ent_flags": ent_flags,
+        "ent_local_mat": ent_local_mat,
+        "ent_lbbox_min": ent_lbbox_min, "ent_lbbox_max": ent_lbbox_max,
+        "ent_inner_medium": ent_inner_medium,
+        "ent_outer_medium": ent_outer_medium,
+        "medium_data": medium_data,
         "ent_tri_offset": ent_tri_offset, "ent_tri_count": ent_tri_count,
         "mat_colors": mat_colors, "mat_scalars": mat_scalars,
         "mat_tex": mat_tex,
@@ -534,14 +660,45 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         **img_tables,
         "light_type": light_type_arr, "light_infinite": light_inf_arr,
         "light_delta": light_delta_arr,
+        "light_sel_pdf": sel_pdf, "light_sel_cdf": fin_cdf,
     }
+    if halton_setup is not None:
+        tables["halton_offsets"] = halton_setup.pop("offsets")
+    tables.update(light_extra)
 
-    return CompiledScene(
+    cs = CompiledScene(
         width=w, height=h, sampler=sampler, camera=camera, technique=technique,
         bsdf_types=bsdf_types, lights=lights, num_entities=num_entities,
         tables=tables, bbox_min=bbox_min, bbox_max=bbox_max,
         entity_names=ent_names, material_names=bsdf_names,
-        textures=textures)
+        textures=textures, media=media)
+    cs.halton_setup = halton_setup
+    return cs
+
+
+def _bake_texture(textures, img_tables, tid, bw=1024, bh=512):
+    """Bake a texture to an image for CDF building (ShadingTree::bakeTexture).
+
+    Plain image textures use their own resolution; everything else evaluates
+    on a bw x bh uv grid."""
+    import jax.numpy as jnp
+    from ignis_tpu.texture.loader import TEX_IMAGE
+    tex = textures[tid]
+    if tex["type"] == TEX_IMAGE:
+        return np.asarray(img_tables[tex["img_key"]])
+    from ignis_tpu.texture.eval import eval_one
+
+    class _Stub:
+        pass
+    stub = _Stub()
+    stub.textures = textures
+    us = (np.arange(bw) + 0.5) / bw
+    vs = (np.arange(bh) + 0.5) / bh
+    uu, vv = np.meshgrid(us, vs)
+    uv = jnp.asarray(np.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1),
+                     jnp.float32)
+    out = np.asarray(eval_one(stub, img_tables, tex, uv))
+    return out.reshape(bh, bw, 3)
 
 
 def _detect_plane(world: TriMesh):

@@ -102,7 +102,13 @@ def compile_textures(scene) -> tuple[list, dict]:
         obj = scene.textures[name]
         ttype = obj.get("type", "image")
         if ttype in ("image", "bitmap"):
-            img = load_image_rgb(scene.resolve_path(obj["filename"]))
+            try:
+                img = load_image_rgb(scene.resolve_path(obj["filename"]))
+            except (FileNotFoundError, OSError, ValueError) as e:
+                import warnings
+                warnings.warn(f"Could not load texture '{obj['filename']}': "
+                              f"{e}; using signal pink")
+                img = np.tile(np.float32([1, 0, 1]), (2, 2, 1))
             key = f"tex{i}_img"
             img_tables[key] = img
             t34 = parse_transform(obj.get("transform")) if "transform" in obj else np.eye(4)

@@ -1,11 +1,14 @@
 import os
 
-# Force a virtual 8-device CPU mesh for sharding tests; must happen before jax
-# import (see SURVEY.md §5.8 / task environment notes).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a virtual 8-device CPU mesh for sharding tests.  NOTE: the axon TPU
+# plugin in this environment overrides the JAX_PLATFORMS env var, so the
+# platform must be pinned through the config API after import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
