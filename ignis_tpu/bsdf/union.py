@@ -30,8 +30,8 @@ from ignis_tpu.core.vec import (
 from ignis_tpu.core.warp import cosine_hemisphere_pdf, sample_cosine_hemisphere
 from ignis_tpu.scene.compile import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_PASSTHROUGH,
-    BSDF_PHONG, BSDF_PLASTIC, BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC,
-    BSDF_ROUGH_PLASTIC,
+    BSDF_PHONG, BSDF_PLASTIC, BSDF_PRINCIPLED, BSDF_ROUGH_CONDUCTOR,
+    BSDF_ROUGH_DIELECTRIC, BSDF_ROUGH_PLASTIC,
 )
 
 # rnd draws consumed by each type's sample() — must match the artic call order
@@ -45,9 +45,15 @@ _SAMPLE_DRAWS = {
     BSDF_ROUGH_DIELECTRIC: 3,   # VNDF sample + fresnel pick
     BSDF_PLASTIC: 3,            # mix pick + (diffuse 2 | smooth spec 0); max
     BSDF_ROUGH_PLASTIC: 3,      # mix pick + 2 either branch
+    BSDF_PRINCIPLED: 3,         # lobe pick + 2 (principled.art sample)
 }
 
 _SPECULAR = {BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_PASSTHROUGH}
+
+
+def _principled():
+    from ignis_tpu.bsdf import principled as mod
+    return mod
 
 
 def sample_draw_counts(bsdf_types):
@@ -534,6 +540,9 @@ def bsdf_eval(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
             v = _plastic_eval(colors, scalars, surf, in_dir, out_dir, False)
         elif t == BSDF_ROUGH_PLASTIC:
             v = _plastic_eval(colors, scalars, surf, in_dir, out_dir, True)
+        elif t == BSDF_PRINCIPLED:
+            v = _principled().principled_eval(colors, scalars, surf, in_dir,
+                                              out_dir)
         else:
             continue  # specular types eval to black
         out = jnp.where((mat_type == t)[..., None], v, out)
@@ -556,6 +565,9 @@ def bsdf_pdf(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
             v = _plastic_pdf(colors, scalars, surf, in_dir, out_dir, False)
         elif t == BSDF_ROUGH_PLASTIC:
             v = _plastic_pdf(colors, scalars, surf, in_dir, out_dir, True)
+        elif t == BSDF_PRINCIPLED:
+            v = _principled().principled_pdf(colors, scalars, surf, in_dir,
+                                             out_dir)
         else:
             continue
         out = jnp.where(mat_type == t, v, out)
@@ -611,6 +623,9 @@ def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
         elif t == BSDF_ROUGH_PLASTIC:
             r = _plastic_sample(colors, scalars, surf, us[0], us[1], us[2],
                                 out_dir, True)
+        elif t == BSDF_PRINCIPLED:
+            r = _principled().principled_sample(colors, scalars, surf, us[0],
+                                                us[1], us[2], out_dir)
         elif t == BSDF_PASSTHROUGH:
             r = (-out_dir, jnp.ones(mat_type.shape, jnp.float32),
                  jnp.ones(out_dir.shape, jnp.float32),

@@ -29,14 +29,57 @@ def camera_frame(cam: CameraConfig):
 
 
 def generate_rays(cam: CameraConfig, nx, ny):
-    """Perspective: dir = normalize(view @ (sx*nx, sy*ny, 1))."""
+    """Camera ray generation: perspective (+DoF TODO), orthogonal, fishlens."""
     right, up, d = camera_frame(cam)
+    tmin = jnp.full(nx.shape, cam.tmin, jnp.float32)
+    tmax = jnp.full(nx.shape, cam.tmax, jnp.float32)
+
+    if cam.type == "orthogonal":
+        # orthogonal.art:14-23: pos = view @ (sx*nx, sy*ny, 0) + eye, dir fixed
+        sw, sh = float(cam.scale[0]), float(cam.scale[1])
+        org = (right[None, :] * (sw * nx)[..., None]
+               + up[None, :] * (sh * ny)[..., None]
+               + jnp.asarray(cam.eye, jnp.float32)[None, :])
+        dirs = jnp.broadcast_to(d, org.shape)
+        return org, dirs, tmin, tmax
+
+    if cam.type == "fishlens":
+        # fishlens.art:8-52: equidistant fisheye with 3 aspect modes
+        w, h = float(cam.scale[0]), float(cam.scale[1])  # film w, h stashed
+        asp = w / h
+        mode = cam.fishlens_mode
+        if mode == "cropped":
+            xasp = 1.0 / asp if asp < 1 else 1.0
+            yasp = 1.0 / asp if asp > 1 else 1.0
+        elif mode == "full":
+            import math as _m
+            diameter = _m.sqrt(asp * asp + 1.0) * h
+            f = diameter / min(w, h)
+            xasp = f if asp < 1 else f / asp
+            yasp = f if asp > 1 else f * asp
+        else:  # circular
+            xasp = 1.0 if asp < 1 else asp
+            yasp = 1.0 if asp > 1 else asp
+        fnx = nx * xasp
+        fny = ny * yasp
+        r = jnp.sqrt(fnx * fnx + fny * fny)
+        theta = r * jnp.float32(3.14159265) / 2.0
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        small = r < 1.1920929e-07
+        sp = jnp.where(small, 0.0, fny / jnp.where(small, 1.0, r))
+        cp = jnp.where(small, 0.0, fnx / jnp.where(small, 1.0, r))
+        local = jnp.stack([st * cp, st * sp, ct], axis=-1)
+        world = (right[None, :] * local[..., 0:1]
+                 + up[None, :] * local[..., 1:2] + d[None, :] * local[..., 2:3])
+        dirs = normalize(world)
+        org = jnp.broadcast_to(jnp.asarray(cam.eye, jnp.float32), dirs.shape)
+        return org, dirs, tmin, tmax
+
+    # perspective (perspective.art:29-41)
     sw, sh = float(cam.scale[0]), float(cam.scale[1])
     world = (right[None, :] * (sw * nx)[..., None]
              + up[None, :] * (sh * ny)[..., None]
              + d[None, :])
     dirs = normalize(world)
     org = jnp.broadcast_to(jnp.asarray(cam.eye, jnp.float32), dirs.shape)
-    tmin = jnp.full(nx.shape, cam.tmin, jnp.float32)
-    tmax = jnp.full(nx.shape, cam.tmax, jnp.float32)
     return org, dirs, tmin, tmax

@@ -190,10 +190,12 @@ def _compile_camera(scene: Scene, width: int, height: int) -> CameraConfig:
         eye = t[:3, 3].copy()
         cdir = t[:3, 2].copy()
         up = t[:3, 1].copy()
+        auto_frame = False
     else:
         eye = np.zeros(3)
         cdir = np.array([0.0, 0.0, -1.0])
         up = np.array([0.0, 1.0, 0.0])
+        auto_frame = True
 
     # FOV semantics: Camera::extractFOV (src/runtime/camera/Camera.cpp:5-15)
     if "vfov" in cam:
@@ -203,7 +205,14 @@ def _compile_camera(scene: Scene, width: int, height: int) -> CameraConfig:
     else:
         fov, vertical = float(cam.get("fov", 60.0)) * DEG2RAD, False
     aspect = float(cam.get("aspect_ratio", width / height))
-    if vertical:
+    if ctype == "orthogonal":
+        # OrthogonalCamera.cpp:16,44: scale property, sh = scale / aspect
+        sw = float(cam.get("scale", 1.0))
+        sh = sw / aspect
+    elif ctype == "fishlens":
+        # fishlens uses the film size, not a fov scale
+        sw, sh = float(width), float(height)
+    elif vertical:
         sh = math.tan(fov / 2)
         sw = sh * aspect
     else:
@@ -214,12 +223,18 @@ def _compile_camera(scene: Scene, width: int, height: int) -> CameraConfig:
     far = float(cam.get("far_clip", 3.4028235e38))
     if far < near:
         near, far = far, near
-    return CameraConfig(
+    cc = CameraConfig(
         type=ctype, eye=eye.astype(np.float32), dir=cdir.astype(np.float32),
         up=up.astype(np.float32),
         scale=np.array([sw, sh], dtype=np.float32), tmin=near, tmax=far,
         aperture_radius=float(cam.get("aperture_radius", 0.0)),
-        focal_length=float(cam.get("focal_length", 1.0)))
+        focal_length=float(cam.get("focal_length", 1.0)),
+        fishlens_mode=cam.get("mode", "circular"))
+    cc.auto_frame = auto_frame
+    cc.fov = fov
+    cc.fov_vertical = vertical
+    cc.aspect = aspect
+    return cc
 
 
 def _compile_technique(scene: Scene) -> TechniqueConfig:
@@ -321,6 +336,36 @@ def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray,
         if not _is_delta_alpha(au, av):
             return BSDF_ROUGH_PLASTIC
         return BSDF_PLASTIC
+    if btype == "principled":
+        # PrincipledBSDF.cpp:19-40 defaults; roughness remap via
+        # principled::compute_roughness (alpha = roughness^2 with 0.9 aniso)
+        ccolor(0, "base_color", (0.8, 0.8, 0.8))
+        ior_def = _DIELECTRICS.get(str(obj.get("ior_material", "")).lower(), 1.55)
+        scalars[1], _ = _number(obj.get("ior"), ior_def)
+        scalars[5], _ = _number(obj.get("diffuse_transmission"), 0.0)
+        scalars[6], _ = _number(obj.get("specular_transmission"), 0.0)
+        scalars[7], _ = _number(obj.get("specular_tint"), 0.0)
+        if "roughness_u" in obj or "roughness_v" in obj:
+            ru, _ = _number(obj.get("roughness_u"), 0.5)
+            rv, _ = _number(obj.get("roughness_v"), 0.5)
+            scalars[0], scalars[4] = ru, rv
+        else:
+            r, _ = _number(obj.get("roughness"), 0.5)
+            aniso, _ = _number(obj.get("anisotropic"), 0.0)
+            aspect = 1.0 if aniso == 0 else math.sqrt(
+                1.0 - min(max(aniso, 0.0), 1.0) * 0.9)
+            scalars[0] = r * r / aspect
+            scalars[4] = r * r * aspect
+        scalars[8], _ = _number(obj.get("flatness"), 0.0)
+        scalars[9], _ = _number(obj.get("metallic"), 0.0)
+        scalars[10], _ = _number(obj.get("sheen"), 0.0)
+        scalars[11], _ = _number(obj.get("sheen_tint"), 0.0)
+        scalars[12], _ = _number(obj.get("clearcoat"), 0.0)
+        scalars[13], _ = _number(obj.get("clearcoat_gloss"), 0.0)
+        scalars[14], _ = _number(obj.get("clearcoat_roughness"), 0.1)
+        scalars[3] = 1.0 if obj.get("thin", False) else 0.0
+        scalars[15] = 1.0 if obj.get("clearcoat_top_only", True) else 0.0
+        return BSDF_PRINCIPLED
     if btype in ("phong",):
         ccolor(0, "specular_reflectance", (1, 1, 1))
         scalars[0], _ = _number(obj.get("exponent"), 30.0)
@@ -354,7 +399,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     bsdf_index = {n: i for i, n in enumerate(bsdf_names)}
     nmat = max(1, len(bsdf_names))
     mat_colors = np.zeros((nmat, 4, 3), dtype=np.float32)
-    mat_scalars = np.zeros((nmat, 8), dtype=np.float32)
+    mat_scalars = np.zeros((nmat, 16), dtype=np.float32)
     mat_tex = np.full((nmat, 4), -1, dtype=np.int32)
     bsdf_types = []
     for i, nname in enumerate(bsdf_names):
@@ -366,8 +411,17 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
 
     # ---- shapes
     shape_meshes: dict[str, TriMesh] = {}
+    gltf_meshes = getattr(scene, "gltf_inline_meshes", {})
     for name in scene.shapes_order:
-        shape_meshes[name] = build_shape(scene.shapes[name], scene.resolve_path)
+        sobj = scene.shapes[name]
+        if sobj.get("type") == "gltf_inline" and name in gltf_meshes:
+            pos, faces, nrm, uv = gltf_meshes[name]
+            mesh = TriMesh(pos, faces.astype(np.int32), nrm, uv)
+            mesh.ensure_normals()
+            mesh.ensure_texcoords()
+            shape_meshes[name] = mesh
+        else:
+            shape_meshes[name] = build_shape(sobj, scene.resolve_path)
 
     # ---- entities → world-space triangle soup, grouped per entity
     ent_names = list(scene.entities_order)
@@ -440,6 +494,17 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     (tri_v0, tri_e1, tri_e2, tri_n0, tri_n1, tri_n2,
      tri_uv0, tri_uv1, tri_uv2, tri_ent, tri_prim) = cat
 
+    if tri_v0.shape[0] == 0:
+        # geometry-less scene (e.g. environment-only): keep one degenerate
+        # triangle so device gathers stay well-formed; it can never be hit.
+        z3 = np.zeros((1, 3), np.float32)
+        z2 = np.zeros((1, 2), np.float32)
+        tri_v0, tri_e1, tri_e2 = z3, z3.copy(), z3.copy()
+        tri_n0 = tri_n1 = tri_n2 = np.tile(np.float32([0, 0, 1]), (1, 1))
+        tri_uv0, tri_uv1, tri_uv2 = z2, z2.copy(), z2.copy()
+        tri_ent = np.zeros(1, np.int32)
+        tri_prim = np.zeros(1, np.int32)
+
     if tri_v0.shape[0] > 0:
         pts = np.concatenate([tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2])
         bbox_min = pts.min(axis=0)
@@ -447,6 +512,21 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     else:
         bbox_min = np.zeros(3, np.float32)
         bbox_max = np.zeros(3, np.float32)
+
+    # Default camera auto-framing over the scene bbox
+    # (PerspectiveCamera.cpp:70-103)
+    if getattr(camera, "auto_frame", False) and tri_v0.shape[0] > 0:
+        diam = bbox_max - bbox_min
+        a = diam[0] / (2 * (camera.aspect if camera.fov_vertical else 1.0))
+        b = diam[1] / (2 * (camera.aspect if not camera.fov_vertical else 1.0))
+        sn = math.sin(camera.fov / 2)
+        dist = 0.0 if abs(sn) <= 1e-7 else max(a, b) * math.sqrt(
+            max(1.0 / (sn * sn) - 1.0, 0.0))
+        center = (bbox_max + bbox_min) * 0.5
+        camera.eye = np.asarray([center[0], center[1],
+                                 bbox_max[2] + dist], np.float32)
+        camera.dir = np.asarray([0, 0, -1], np.float32)
+        camera.up = np.asarray([0, 1, 0], np.float32)
 
     # ---- media (LoaderMedium.cpp; homogeneous/vacuum; heterogeneous TODO)
     media: list[dict] = []
