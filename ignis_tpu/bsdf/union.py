@@ -29,9 +29,9 @@ from ignis_tpu.core.vec import (
 )
 from ignis_tpu.core.warp import cosine_hemisphere_pdf, sample_cosine_hemisphere
 from ignis_tpu.scene.compile import (
-    BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_PASSTHROUGH,
-    BSDF_PHONG, BSDF_PLASTIC, BSDF_PRINCIPLED, BSDF_ROUGH_CONDUCTOR,
-    BSDF_ROUGH_DIELECTRIC, BSDF_ROUGH_PLASTIC,
+    BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_KLEMS,
+    BSDF_PASSTHROUGH, BSDF_PHONG, BSDF_PLASTIC, BSDF_PRINCIPLED,
+    BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC, BSDF_ROUGH_PLASTIC,
 )
 
 # rnd draws consumed by each type's sample() — must match the artic call order
@@ -46,6 +46,7 @@ _SAMPLE_DRAWS = {
     BSDF_PLASTIC: 3,            # mix pick + (diffuse 2 | smooth spec 0); max
     BSDF_ROUGH_PLASTIC: 3,      # mix pick + 2 either branch
     BSDF_PRINCIPLED: 3,         # lobe pick + 2 (principled.art sample)
+    BSDF_KLEMS: 3,              # cosine sample + refl/trans pick
 }
 
 _SPECULAR = {BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_PASSTHROUGH}
@@ -524,7 +525,8 @@ def _params(tables, surf):
     return _mat_gather(tables, surf["mat_id"])
 
 
-def bsdf_eval(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
+def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir):
+    bsdf_types = scene.bsdf_types
     colors, scalars = _params(tables, surf)
     out = jnp.zeros(in_dir.shape, dtype=jnp.float32)
     for t in set(bsdf_types):
@@ -543,13 +545,21 @@ def bsdf_eval(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
         elif t == BSDF_PRINCIPLED:
             v = _principled().principled_eval(colors, scalars, surf, in_dir,
                                               out_dir)
+        elif t == BSDF_KLEMS:
+            from ignis_tpu.bsdf.klems_bsdf import klems_eval
+            v = jnp.zeros(in_dir.shape, jnp.float32)
+            for mid, info in scene.klems_info.items():
+                kv = klems_eval(tables, f"klems{mid}", info, colors[:, 0],
+                                info["up"], surf, in_dir, out_dir)
+                v = jnp.where((surf["mat_id"] == mid)[..., None], kv, v)
         else:
             continue  # specular types eval to black
         out = jnp.where((mat_type == t)[..., None], v, out)
     return out
 
 
-def bsdf_pdf(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
+def bsdf_pdf(scene, tables, mat_type, surf, in_dir, out_dir):
+    bsdf_types = scene.bsdf_types
     colors, scalars = _params(tables, surf)
     out = jnp.zeros(mat_type.shape, dtype=jnp.float32)
     for t in set(bsdf_types):
@@ -568,14 +578,22 @@ def bsdf_pdf(bsdf_types, tables, mat_type, surf, in_dir, out_dir):
         elif t == BSDF_PRINCIPLED:
             v = _principled().principled_pdf(colors, scalars, surf, in_dir,
                                              out_dir)
+        elif t == BSDF_KLEMS:
+            from ignis_tpu.bsdf.klems_bsdf import klems_pdf
+            v = jnp.zeros(mat_type.shape, jnp.float32)
+            for mid, info in scene.klems_info.items():
+                kv = klems_pdf(tables, f"klems{mid}", info, info["up"], surf,
+                               in_dir, out_dir)
+                v = jnp.where(surf["mat_id"] == mid, kv, v)
         else:
             continue
         out = jnp.where(mat_type == t, v, out)
     return out
 
 
-def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+def bsdf_sample(scene, tables, mat_type, surf, seed, counter, out_dir,
                 active=None, adjoint=False):
+    bsdf_types = scene.bsdf_types
     """Sample the union; advances counters by each lane's type draw count.
 
     Returns (in_dir, pdf, weight, eta, valid, new_counter).
@@ -626,6 +644,23 @@ def bsdf_sample(bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
         elif t == BSDF_PRINCIPLED:
             r = _principled().principled_sample(colors, scalars, surf, us[0],
                                                 us[1], us[2], out_dir)
+        elif t == BSDF_KLEMS:
+            from ignis_tpu.bsdf.klems_bsdf import klems_sample
+            n_ = mat_type.shape[0]
+            r = [jnp.zeros((n_, 3), jnp.float32), jnp.zeros((n_,), jnp.float32),
+                 jnp.zeros((n_, 3), jnp.float32), jnp.ones((n_,), jnp.float32),
+                 jnp.zeros((n_,), bool)]
+            for mid, info in scene.klems_info.items():
+                kr = klems_sample(tables, f"klems{mid}", info, colors[:, 0],
+                                  info["up"], surf, us[0], us[1], us[2],
+                                  out_dir)
+                km = surf["mat_id"] == mid
+                r[0] = jnp.where(km[..., None], kr[0], r[0])
+                r[1] = jnp.where(km, kr[1], r[1])
+                r[2] = jnp.where(km[..., None], kr[2], r[2])
+                r[3] = jnp.where(km, kr[3], r[3])
+                r[4] = jnp.where(km, kr[4], r[4])
+            r = tuple(r)
         elif t == BSDF_PASSTHROUGH:
             r = (-out_dir, jnp.ones(mat_type.shape, jnp.float32),
                  jnp.ones(out_dir.shape, jnp.float32),

@@ -265,12 +265,12 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
             seed, counter, nee_active)
         pdf_l_s = ls["pdf_solid"] * sel_pdf
         out_dir = -d
-        pdf_e_s = bsdf_pdf(scene.bsdf_types, tables, mat_type, surf,
+        pdf_e_s = bsdf_pdf(scene, tables, mat_type, surf,
                            ls["dir"], out_dir)
         mis = jnp.where(ls["delta"] | was_medium, 1.0,
                         1.0 / (1.0 + safe_div(pdf_e_s, pdf_l_s)))
         factor = safe_div(ls["pdf_value"], pdf_l_s)
-        bsdf_c = bsdf_eval(scene.bsdf_types, tables, mat_type, surf,
+        bsdf_c = bsdf_eval(scene, tables, mat_type, surf,
                            ls["dir"], out_dir)
         sc = _handle_color(
             ls["intensity"] * contrib * bsdf_c * (mis * factor)[..., None],
@@ -339,7 +339,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         # exhausted (transmittance eval), plain pass otherwise (weight white)
         surf_branch = can_bounce & ~medium_event
         in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
-            scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+            scene, tables, mat_type, surf, seed, counter, out_dir,
             active=surf_branch)
         vol_trans = jnp.where(allow_medium[..., None], 1.0, hitvol)
         contrib_s = contrib * vol_trans * b_weight
@@ -375,7 +375,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         med_next = jnp.where(scatter_alive, med, med_s)
     else:
         in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
-            scene.bsdf_types, tables, mat_type, surf, seed, counter, out_dir,
+            scene, tables, mat_type, surf, seed, counter, out_dir,
             active=can_bounce)
         new_contrib = contrib * b_weight
         # russian roulette (pbrt v4 variant, pathtracer.art:5, :185);

@@ -370,6 +370,9 @@ def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray,
         ccolor(0, "specular_reflectance", (1, 1, 1))
         scalars[0], _ = _number(obj.get("exponent"), 30.0)
         return BSDF_PHONG
+    if btype == "klems":
+        ccolor(0, "base_color", (1, 1, 1))
+        return BSDF_KLEMS
     if btype in ("passthrough", "null"):
         return BSDF_PASSTHROUGH
     # Unknown → signal-pink error BSDF semantics (ErrorBSDF.cpp): bright diffuse
@@ -408,6 +411,29 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     if not bsdf_names:
         bsdf_types.append(BSDF_DIFFUSE)
         mat_colors[0, 0] = 0.5
+
+    # measured Klems materials: per-material device tables + static info
+    klems_info = {}
+    klems_tables_all = {}
+    for i, nname in enumerate(bsdf_names):
+        if bsdf_types[i] != BSDF_KLEMS:
+            continue
+        obj = scene.bsdfs[nname]
+        from ignis_tpu.measured.klems import klems_tables, load_klems_xml
+        try:
+            comps = load_klems_xml(scene.resolve_path(obj["filename"]))
+        except Exception as e:
+            import warnings
+            warnings.warn(f"Failed to load klems '{obj.get('filename')}': {e};"
+                          f" substituting error bsdf")
+            bsdf_types[i] = BSDF_DIFFUSE
+            mat_colors[i, 0] = np.float32([1, 0, 1])
+            continue
+        tbl, info = klems_tables(comps, f"klems{i}")
+        up = np.asarray(obj.get("up", [0, 0, 1]), np.float64)
+        info["up"] = (up / max(np.linalg.norm(up), 1e-12)).astype(np.float32)
+        klems_info[i] = info
+        klems_tables_all.update(tbl)
 
     # ---- shapes
     shape_meshes: dict[str, TriMesh] = {}
@@ -745,6 +771,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     if halton_setup is not None:
         tables["halton_offsets"] = halton_setup.pop("offsets")
     tables.update(light_extra)
+    tables.update(klems_tables_all)
 
     cs = CompiledScene(
         width=w, height=h, sampler=sampler, camera=camera, technique=technique,
@@ -753,6 +780,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         entity_names=ent_names, material_names=bsdf_names,
         textures=textures, media=media)
     cs.halton_setup = halton_setup
+    cs.klems_info = klems_info
     return cs
 
 
