@@ -32,6 +32,7 @@ from ignis_tpu.scene.compile import (
     BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_KLEMS,
     BSDF_PASSTHROUGH, BSDF_PHONG, BSDF_PLASTIC, BSDF_PRINCIPLED,
     BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC, BSDF_ROUGH_PLASTIC,
+    BSDF_TENSORTREE,
 )
 
 # rnd draws consumed by each type's sample() — must match the artic call order
@@ -47,6 +48,7 @@ _SAMPLE_DRAWS = {
     BSDF_ROUGH_PLASTIC: 3,      # mix pick + 2 either branch
     BSDF_PRINCIPLED: 3,         # lobe pick + 2 (principled.art sample)
     BSDF_KLEMS: 3,              # cosine sample + refl/trans pick
+    BSDF_TENSORTREE: 3,         # same sampler family as klems
 }
 
 _SPECULAR = {BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_PASSTHROUGH}
@@ -552,6 +554,13 @@ def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir):
                 kv = klems_eval(tables, f"klems{mid}", info, colors[:, 0],
                                 info["up"], surf, in_dir, out_dir)
                 v = jnp.where((surf["mat_id"] == mid)[..., None], kv, v)
+        elif t == BSDF_TENSORTREE:
+            from ignis_tpu.bsdf.tensortree_bsdf import tensortree_eval
+            v = jnp.zeros(in_dir.shape, jnp.float32)
+            for mid, info in scene.tensortree_info.items():
+                kv = tensortree_eval(tables, f"tt{mid}", info, colors[:, 0],
+                                     info["up"], surf, in_dir, out_dir)
+                v = jnp.where((surf["mat_id"] == mid)[..., None], kv, v)
         else:
             continue  # specular types eval to black
         out = jnp.where((mat_type == t)[..., None], v, out)
@@ -584,6 +593,13 @@ def bsdf_pdf(scene, tables, mat_type, surf, in_dir, out_dir):
             for mid, info in scene.klems_info.items():
                 kv = klems_pdf(tables, f"klems{mid}", info, info["up"], surf,
                                in_dir, out_dir)
+                v = jnp.where(surf["mat_id"] == mid, kv, v)
+        elif t == BSDF_TENSORTREE:
+            from ignis_tpu.bsdf.tensortree_bsdf import tensortree_pdf
+            v = jnp.zeros(mat_type.shape, jnp.float32)
+            for mid, info in scene.tensortree_info.items():
+                kv = tensortree_pdf(tables, f"tt{mid}", info, info["up"],
+                                    surf, in_dir, out_dir)
                 v = jnp.where(surf["mat_id"] == mid, kv, v)
         else:
             continue
@@ -654,6 +670,23 @@ def bsdf_sample(scene, tables, mat_type, surf, seed, counter, out_dir,
                 kr = klems_sample(tables, f"klems{mid}", info, colors[:, 0],
                                   info["up"], surf, us[0], us[1], us[2],
                                   out_dir)
+                km = surf["mat_id"] == mid
+                r[0] = jnp.where(km[..., None], kr[0], r[0])
+                r[1] = jnp.where(km, kr[1], r[1])
+                r[2] = jnp.where(km[..., None], kr[2], r[2])
+                r[3] = jnp.where(km, kr[3], r[3])
+                r[4] = jnp.where(km, kr[4], r[4])
+            r = tuple(r)
+        elif t == BSDF_TENSORTREE:
+            from ignis_tpu.bsdf.tensortree_bsdf import tensortree_sample
+            n_ = mat_type.shape[0]
+            r = [jnp.zeros((n_, 3), jnp.float32), jnp.zeros((n_,), jnp.float32),
+                 jnp.zeros((n_, 3), jnp.float32), jnp.ones((n_,), jnp.float32),
+                 jnp.zeros((n_,), bool)]
+            for mid, info in scene.tensortree_info.items():
+                kr = tensortree_sample(tables, f"tt{mid}", info, colors[:, 0],
+                                       info["up"], surf, us[0], us[1], us[2],
+                                       out_dir)
                 km = surf["mat_id"] == mid
                 r[0] = jnp.where(km[..., None], kr[0], r[0])
                 r[1] = jnp.where(km, kr[1], r[1])

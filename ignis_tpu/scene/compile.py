@@ -373,6 +373,9 @@ def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray,
     if btype == "klems":
         ccolor(0, "base_color", (1, 1, 1))
         return BSDF_KLEMS
+    if btype == "tensortree":
+        ccolor(0, "base_color", (1, 1, 1))
+        return BSDF_TENSORTREE
     if btype in ("passthrough", "null"):
         return BSDF_PASSTHROUGH
     # Unknown → signal-pink error BSDF semantics (ErrorBSDF.cpp): bright diffuse
@@ -412,10 +415,30 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         bsdf_types.append(BSDF_DIFFUSE)
         mat_colors[0, 0] = 0.5
 
-    # measured Klems materials: per-material device tables + static info
+    # measured materials: per-material device tables + static info
     klems_info = {}
+    tt_info = {}
     klems_tables_all = {}
     for i, nname in enumerate(bsdf_names):
+        if bsdf_types[i] == BSDF_TENSORTREE:
+            obj = scene.bsdfs[nname]
+            from ignis_tpu.measured.tensortree import (
+                load_tensortree_xml, tensortree_tables)
+            try:
+                comps = load_tensortree_xml(scene.resolve_path(obj["filename"]))
+            except Exception as e:
+                import warnings
+                warnings.warn(f"Failed to load tensortree "
+                              f"'{obj.get('filename')}': {e}")
+                bsdf_types[i] = BSDF_DIFFUSE
+                mat_colors[i, 0] = np.float32([1, 0, 1])
+                continue
+            tbl, info = tensortree_tables(comps, f"tt{i}")
+            up = np.asarray(obj.get("up", [0, 0, 1]), np.float64)
+            info["up"] = (up / max(np.linalg.norm(up), 1e-12)).astype(np.float32)
+            tt_info[i] = info
+            klems_tables_all.update(tbl)
+            continue
         if bsdf_types[i] != BSDF_KLEMS:
             continue
         obj = scene.bsdfs[nname]
@@ -781,6 +804,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         textures=textures, media=media)
     cs.halton_setup = halton_setup
     cs.klems_info = klems_info
+    cs.tensortree_info = tt_info
     return cs
 
 
