@@ -19,6 +19,7 @@ set by the scene compiler:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ignis_tpu.core import rng
 from ignis_tpu.core.vec import (
@@ -30,8 +31,29 @@ from ignis_tpu.core.warp import (
 )
 from ignis_tpu.scene.compile import (
     LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_DIRECTIONAL, LIGHT_ENV,
-    LIGHT_ENV_CDF, LIGHT_POINT, LIGHT_SPOT,
+    LIGHT_ENV_CDF, LIGHT_POINT, LIGHT_SPOT, LIGHT_SUN,
 )
+
+
+def _sample_sun(data, from_point, u1, u2):
+    """make_sun_light.sample_direct (light/sun.art:4-16): uniform cone around
+    the (scene-incoming) sun direction; delta pdf."""
+    from ignis_tpu.core.vec import orthonormal_basis, to_world
+    from ignis_tpu.core.warp import sample_uniform_cone
+    n = from_point.shape[0]
+    sdir = data[:, 0:3]
+    cos_angle = data[:, 9]
+    color = data[:, 3:6]
+    sun_radius = jnp.sqrt(jnp.maximum(1.0 - cos_angle * cos_angle, 0.0)) /         jnp.maximum(cos_angle, 1e-8)
+    sun_area = jnp.pi * sun_radius * sun_radius
+    local, pdf = sample_uniform_cone(u1, u2, cos_angle)
+    tb, bb = orthonormal_basis(sdir)
+    wdir = to_world(local, tb, bb, sdir)
+    intensity = color * safe_div(1.0, sun_area * pdf)[..., None]
+    one = jnp.ones((n,), jnp.float32)
+    return dict(dir=-wdir, dist=jnp.full((n,), FLT_MAX, jnp.float32),
+                cos=local[..., 2], pos=jnp.zeros((n, 3), jnp.float32),
+                intensity=intensity, pdf_value=one, pdf_solid=one)
 
 
 def _safe_len(v):
@@ -292,15 +314,107 @@ def _env_radiance(scene, tables, info, data, uv):
     return jnp.broadcast_to(base, uv.shape[:-1] + (3,))
 
 
+def _cie_wmean(cos_theta, c1, c2):
+    """cie_wmean (light/cie.art:1-7)."""
+    a = jnp.power(cos_theta + 1.01, 10.0)
+    a2 = a * a
+    f1 = (a2 / (a2 + 1.0))[..., None]
+    f2 = (1.0 / (a2 + 1.0))[..., None]
+    return c1 * f1 + c2 * f2
+
+
+def _env_func_eval(scene, tables, info, data, ldir):
+    """Radiance function of the LIGHT-space direction (transform applied).
+
+    Dispatch: constant/texture env or CIE sky models
+    (light/cie.art make_cie_sky_light)."""
+    sky = getattr(info, "sky", None)
+    if sky is None:
+        from ignis_tpu.light.env_cdf import map_env_uv, switch_env_up
+        uv = map_env_uv(switch_env_up(ldir))
+        return _env_radiance(scene, tables, info, data, uv)
+    cos_theta = ldir[..., 1]  # env lights use Y as up
+    if sky["kind"] in ("cie_uniform", "cie_cloudy"):
+        zenith = data[0:3]
+        ground = data[12:15]
+        gb = data[15]
+        cloudy = sky["kind"] == "cie_cloudy"
+        c1 = (1.0 + 2.0 * cos_theta) / 3.0 if cloudy else jnp.ones_like(cos_theta)
+        c2 = 0.777777777 if cloudy else 1.0
+        v = _cie_wmean(cos_theta, zenith * c1[..., None],
+                       jnp.broadcast_to(ground * gb * c2, ldir.shape))
+        if not sky["has_ground"]:
+            v = jnp.where((cos_theta < 0)[..., None], 0.0, v)
+        return v
+    if sky["kind"] == "cie_sunny":
+        # make_cie_sunny_light (light/cie.art:20-38); zenith*zb and
+        # ground*gb*c2 are pre-folded into the data row at compile time
+        zcol = data[0:3]
+        gcol = data[12:15]
+        sun_dir = jnp.asarray(sky["sun_dir"], jnp.float32)
+        cos_gamma = jnp.clip(jnp.sum(ldir * sun_dir, axis=-1), -1.0, 1.0)
+        gamma = jnp.arccos(jnp.clip(cos_gamma, -1.0 + 1e-7, 1.0 - 1e-7))
+        if sky["is_clear"]:
+            ct_safe = jnp.where(cos_theta >= 0.01, cos_theta, 1.0)
+            horiz = jnp.where(cos_theta >= 0.01,
+                              1.0 - jnp.exp(-0.32 / ct_safe), 1.0)
+            c1 = (0.91 + 10.0 * jnp.exp(-3.0 * gamma)
+                  + 0.45 * cos_gamma * cos_gamma) * horiz
+        else:
+            theta = jnp.arccos(jnp.clip(cos_theta, -1.0 + 1e-7, 1.0 - 1e-7))
+            stheta = float(np.arccos(np.clip(sky["sun_dir"][1], -1.0, 1.0)))
+            c1 = (((1.35 * jnp.sin(5.631 - 3.59 * theta) + 3.12)
+                   * np.sin(4.396 - 2.6 * stheta) + 6.37 - theta) / 2.326
+                  * jnp.exp(gamma * (-0.563)
+                            * ((2.629 - theta) * (1.562 - stheta) + 0.812)))
+        v = _cie_wmean(cos_theta, zcol * c1[..., None],
+                       jnp.broadcast_to(gcol, ldir.shape))
+        if not sky["has_ground"]:
+            v = jnp.where((cos_theta < 0)[..., None], 0.0, v)
+        return v
+    if sky["kind"] == "perez":
+        # make_perez_light (light/cie.art:49-57); lum pre-folded w/ diffnorm
+        lum = data[0:3]
+        ground = data[12:15]
+        sun_dir = jnp.asarray(sky["sun_dir"], jnp.float32)
+        a, b, c, d, e = sky["abcde"]
+        sun_c = jnp.clip(jnp.sum(ldir * sun_dir, axis=-1), -1.0, 1.0)
+        sun_a = jnp.arccos(jnp.clip(sun_c, -1.0 + 1e-7, 1.0 - 1e-7))
+        A = 1.0 + a * jnp.exp(b / jnp.maximum(0.01, cos_theta))
+        B = 1.0 + c * jnp.exp(d * sun_a) + e * sun_c * sun_c
+        fac = A * B
+        v = _cie_wmean(cos_theta, lum * fac[..., None],
+                       jnp.broadcast_to(ground, ldir.shape))
+        if not sky["has_ground"]:
+            v = jnp.where((cos_theta < 0)[..., None], 0.0, v)
+        return v
+    return jnp.broadcast_to(data[0:3], ldir.shape)
+
+
 def _sample_env(scene, tables, info, data, from_point, scene_radius, u1, u2):
-    """make_environment_light_function_spherical (light/env.art:76-103)."""
-    from ignis_tpu.light.env_cdf import map_env_uv, switch_env_up
+    """make_environment_light_function_{spherical,hemi} (light/env.art:26-103)."""
+    from ignis_tpu.core.warp import (cosine_hemisphere_pdf,
+                                     sample_cosine_hemisphere)
+    from ignis_tpu.light.env_cdf import switch_env_up
+    trans = data[3:12].reshape(3, 3)
+    sky = getattr(info, "sky", None)
+    half = bool(sky and sky.get("hemi", not sky.get("has_ground", True)))
+    if half:
+        # hemi: cosine sample around Y-up in light space (env.art:26-47)
+        sz, pdf = sample_cosine_hemisphere(u1, u2)
+        ld = switch_env_up(sz)                    # Y-up light dir
+        intensity = (_env_func_eval(scene, tables, info, data, ld)
+                     * safe_div(1.0, pdf)[..., None])
+        gdir = ld @ trans                          # mat3x3_left_mul
+        return dict(dir=gdir,
+                    dist=jnp.full(u1.shape, scene_radius, jnp.float32),
+                    cos=jnp.ones_like(u1),
+                    pos=from_point + gdir * scene_radius,
+                    intensity=intensity, pdf_value=pdf, pdf_solid=pdf)
     d = equal_area_square_to_sphere(u1, u2)
     pdf = jnp.broadcast_to(equal_area_sphere_pdf(), u1.shape)
-    trans = data[3:12].reshape(3, 3)
     ldir = d @ trans.T  # mat3x3_mul(transform, dir)
-    uv = map_env_uv(switch_env_up(ldir))
-    intensity = (_env_radiance(scene, tables, info, data, uv)
+    intensity = (_env_func_eval(scene, tables, info, data, ldir)
                  * safe_div(1.0, pdf)[..., None])
     return dict(dir=d, dist=jnp.full(u1.shape, scene_radius, jnp.float32),
                 cos=jnp.ones_like(u1),
@@ -334,7 +448,7 @@ def _sample_env_cdf(scene, tables, info, data, lid, from_point, scene_radius,
 _LIGHT_DRAWS = {
     LIGHT_POINT: 0, LIGHT_DIRECTIONAL: 0, LIGHT_SPOT: 0,
     LIGHT_AREA_PLANE: 2, LIGHT_AREA_MESH: 2, LIGHT_ENV: 2,
-    LIGHT_ENV_CDF: 2,
+    LIGHT_ENV_CDF: 2, LIGHT_SUN: 2,
 }
 
 
@@ -387,7 +501,9 @@ def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
                                        r[k], out[k])
                 draws = jnp.where(m, jnp.uint32(2), draws)
             continue
-        if t == LIGHT_POINT:
+        if t == LIGHT_SUN:
+            r = _sample_sun(data, from_point, us[0], us[1])
+        elif t == LIGHT_POINT:
             r = _sample_point(data, from_point)
         elif t == LIGHT_AREA_PLANE:
             r = _sample_area_plane(data, from_point, is_entering, us[0], us[1])
@@ -468,9 +584,16 @@ def env_emission_and_pdf(scene, tables, light_id, ray_dir):
     from ignis_tpu.light.env_cdf import map_env_uv, switch_env_up
     if info.type == LIGHT_ENV:
         trans = data[3:12].reshape(3, 3)
-        ldir = switch_env_up(ray_dir @ trans.T)
-        uv = map_env_uv(ldir)
-        color = _env_radiance(scene, tables, info, data, uv)
+        ldir = ray_dir @ trans.T
+        color = _env_func_eval(scene, tables, info, data, ldir)
+        sky = getattr(info, "sky", None)
+        if sky and sky.get("hemi", not sky.get("has_ground", True)):
+            # hemi variant (env.art:48-67): black + cosine pdf above horizon
+            from ignis_tpu.core.warp import cosine_hemisphere_pdf
+            above = ldir[..., 1] > 1.1920929e-07
+            color = jnp.where(above[..., None], color, 0.0)
+            pdf = jnp.where(above, cosine_hemisphere_pdf(ldir[..., 1]), 0.0)
+            return color, pdf
         pdf = jnp.broadcast_to(equal_area_sphere_pdf(), ray_dir.shape[:-1])
         return color, pdf
     if info.type == LIGHT_ENV_CDF:

@@ -96,12 +96,30 @@ def _color(v, default=(0.0, 0.0, 0.0)):
     raise SceneError(f"Cannot interpret color property {v!r}")
 
 
+_PARAM_VALUES: dict = {}
+
+
 def _number(v, default=0.0):
     if v is None:
         return float(default), -1
     if isinstance(v, (int, float)):
         return float(v), -1
     if isinstance(v, str):
+        # try to constant-fold a PExpr using scene parameters
+        try:
+            import jax
+            from ignis_tpu.texture.pexpr import eval_pexpr
+
+            class _S:
+                textures = []
+                parameter_values = _PARAM_VALUES
+            import numpy as _np
+            kind, val = eval_pexpr(_S(), {}, v, {"uv": jax.numpy.zeros((1, 2))})
+            arr = _np.asarray(val)
+            if arr.size >= 1:
+                return float(arr.reshape(-1)[0]), -1
+        except Exception:
+            pass
         return float(default), v
     raise SceneError(f"Cannot interpret number property {v!r}")
 
@@ -388,6 +406,24 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     w = int(width or film_size[0])
     h = int(height or film_size[1])
     sampler = scene.film.get("sampler", "independent")
+
+    # scene-wide parameters (docs/src/scene/pexpr.rst "Scene Parameters")
+    global _PARAM_VALUES
+    _PARAM_VALUES = {}
+    params = scene.parameters
+    plist = params if isinstance(params, list) else []
+    for pdef in plist:
+        pname = pdef.get("name")
+        ptype = pdef.get("type", "number")
+        pval = pdef.get("value", 0)
+        if pname is None:
+            continue
+        kind = {"number": "num", "vector": "vec3", "color": "vec4"}.get(
+            ptype, "num")
+        if kind == "vec4" and isinstance(pval, list) and len(pval) == 3:
+            pval = list(pval) + [1.0]
+        _PARAM_VALUES[pname] = (kind, pval)
+    scene_params = dict(_PARAM_VALUES)
 
     camera = _compile_camera(scene, w, h)
     technique = _compile_technique(scene)
@@ -697,11 +733,122 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             d, _ = _color(lobj.get("direction"), (0, 0, 1))
             nd = np.asarray(d) / max(np.linalg.norm(d), 1e-20)
             inten, _ = _color(lobj.get("intensity"), (1, 1, 1))
-            cutoff = float(lobj.get("cutoff", 30.0)) * DEG2RAD
-            falloff = float(lobj.get("falloff", 20.0)) * DEG2RAD
+            cutoff_v, _ = _number(lobj.get("cutoff"), 30.0)
+            falloff_v, _ = _number(lobj.get("falloff"), 20.0)
+            cutoff = cutoff_v * DEG2RAD
+            falloff = falloff_v * DEG2RAD
             lights.append(LightInfo(LIGHT_SPOT, lname, False, True, draws=0))
             light_f.append(lrow(pos, nd, inten,
                                 [math.cos(cutoff), math.cos(falloff)]))
+        elif ltype == "sun":
+            d = _sun_direction(lobj)
+            irr, _ = _color(lobj.get("irradiance"), (1, 1, 1))
+            if "radius" in lobj:
+                r, _ = _number(lobj.get("radius"), 1.0)
+                cos_angle = 1.0 / math.sqrt(r * r + 1.0)
+            else:
+                ang, _ = _number(lobj.get("angle"), 11.4)
+                cos_angle = math.cos(math.radians(ang) / 2.0)
+            lights.append(LightInfo(LIGHT_SUN, lname, True, True, draws=2))
+            light_f.append(lrow(d, irr, [0.0, 0.0, 0.0], [cos_angle]))
+        elif ltype in ("cie_uniform", "cie_cloudy"):
+            zen, _ = _color(lobj.get("zenith"), (1, 1, 1))
+            scale, _ = _color(lobj.get("scale"), (1, 1, 1))
+            grd, _ = _color(lobj.get("ground"), (1, 1, 1))
+            gb, _ = _number(lobj.get("ground_brightness"), 0.2)
+            has_ground = bool(lobj.get("has_ground", True))
+            tr = parse_transform(lobj.get("transform")) if "transform" in lobj else np.eye(4)
+            trans = np.linalg.inv(tr[:3, :3]).T
+            li = LightInfo(LIGHT_ENV, lname, True, False, draws=2)
+            li.sky = dict(kind=ltype, has_ground=has_ground,
+                          hemi=not has_ground)
+            lights.append(li)
+            light_f.append(lrow(zen * scale, trans.reshape(-1), grd, [gb]))
+        elif ltype in ("cie_clear", "cie_intermediate"):
+            # CIELight.cpp:66-113 (sunny classifications)
+            from ignis_tpu.light import skysun
+            zen, _ = _color(lobj.get("zenith"), (1, 1, 1))
+            scale, _ = _color(lobj.get("scale"), (1, 1, 1))
+            grd, _ = _color(lobj.get("ground"), (1, 1, 1))
+            gb, _ = _number(lobj.get("ground_brightness"), 0.2)
+            turb, _ = _number(lobj.get("turbidity"), 2.45)
+            has_ground = bool(lobj.get("has_ground", True))
+            el, az = skysun.get_ea(lobj)
+            el = min(el, 87 * DEG2RAD)
+            sun_dir = skysun.ea_to_dir(el, az)
+            is_clear = ltype == "cie_clear"
+            zb_over_f, c2 = skysun.cie_sunny_params(
+                is_clear, not is_clear, el, float(sun_dir[1]), turb)
+            tr = parse_transform(lobj.get("transform")) if "transform" in lobj else np.eye(4)
+            trans = np.linalg.inv(tr[:3, :3]).T
+            li = LightInfo(LIGHT_ENV, lname, True, False, draws=2)
+            li.sky = dict(kind="cie_sunny", is_clear=is_clear,
+                          has_ground=has_ground, hemi=not has_ground,
+                          sun_dir=tuple(float(x) for x in sun_dir))
+            lights.append(li)
+            light_f.append(lrow(np.asarray(scale) * np.asarray(zen)
+                                * zb_over_f, trans.reshape(-1),
+                                np.asarray(scale) * np.asarray(grd) * gb * c2))
+        elif ltype == "perez":
+            # PerezLight.cpp:60-117 + light/cie.art:49-57
+            from ignis_tpu.light import skysun
+            sun_dir = skysun.get_sun_direction(lobj)
+            tp = skysun.get_timepoint(lobj)
+            sin_elev = min(1.0, max(-1.0, -float(sun_dir[1])))
+            solar_zenith = math.acos(min(1.0, max(-1.0, float(sun_dir[1]))))
+            (pa, pb, pc, pd, pe), diff_irrad = skysun.perez_model_from_obj(
+                lobj, solar_zenith, tp)
+            diffnorm = diff_irrad / max(
+                skysun.perez_integrate(pa, pb, pc, pd, pe, solar_zenith),
+                1e-20)
+            grd, _ = _color(lobj.get("ground"), (1, 1, 1))
+            has_ground = bool(lobj.get("has_ground", True))
+            if "luminance" in lobj:
+                lum, _ = _color(lobj.get("luminance"), (1, 1, 1))
+                lum = np.asarray(lum) * diffnorm
+            else:
+                lum, _ = _color(lobj.get("zenith"), (1, 1, 1))
+                lum = np.asarray(lum) * float(
+                    skysun.perez_eval(pa, pb, pc, pd, pe, sin_elev, 1.0)
+                    * diffnorm)
+            tr = parse_transform(lobj.get("transform")) if "transform" in lobj else np.eye(4)
+            trans = np.linalg.inv(tr[:3, :3]).T
+            li = LightInfo(LIGHT_ENV, lname, True, False, draws=2)
+            li.sky = dict(kind="perez", has_ground=has_ground, hemi=False,
+                          sun_dir=tuple(float(x) for x in sun_dir),
+                          abcde=(pa, pb, pc, pd, pe))
+            lights.append(li)
+            light_f.append(lrow(lum, trans.reshape(-1), grd))
+        elif ltype == "sky":
+            # Hosek-Wilkie sky baked to an env texture + CDF
+            # (SkyLight.cpp:30-75; SkyModel.cpp:9-55)
+            from ignis_tpu.light import skysun
+            from ignis_tpu.light.hosek import bake_sky_image
+            from ignis_tpu.light.env_cdf import build_cdf2d
+            from ignis_tpu.texture.loader import (FILTER_BILINEAR, TEX_IMAGE,
+                                                  WRAP_REPEAT)
+            scale, _ = _color(lobj.get("scale"), (1, 1, 1))
+            grd, _ = _color(lobj.get("ground"), (0.8, 0.8, 0.8))
+            turb, _ = _number(lobj.get("turbidity"), 3.0)
+            el, az = skysun.get_ea(lobj)
+            img = bake_sky_image(np.asarray(grd, np.float64), el, az, turb)
+            key = f"light{lid}_sky_img"
+            img_tables[key] = img
+            tid = len(textures)
+            textures.append(dict(
+                type=TEX_IMAGE, name=f"__sky_{lname}", img_key=key,
+                filter=FILTER_BILINEAR, wrap_u=WRAP_REPEAT,
+                wrap_v=WRAP_REPEAT,
+                transform=np.eye(4)[:2, (0, 1, 3)].astype(np.float32),
+                linear=False))
+            m, c = build_cdf2d(img, premultiply_sin=True, compensate=False)
+            light_extra[f"light{lid}_cdf_m"] = m
+            light_extra[f"light{lid}_cdf_c"] = c
+            tr = parse_transform(lobj.get("transform")) if "transform" in lobj else np.eye(4)
+            trans = np.linalg.inv(tr[:3, :3]).T
+            lights.append(LightInfo(LIGHT_ENV_CDF, lname, True, False,
+                                    draws=2, tex=tid))
+            light_f.append(lrow(scale, trans.reshape(-1)))
         else:
             # Degrade gracefully like the reference loader (logs an error and
             # continues; LoaderLight.cpp unknown-plugin path).
@@ -805,7 +952,15 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     cs.halton_setup = halton_setup
     cs.klems_info = klems_info
     cs.tensortree_info = tt_info
+    cs.parameter_values = scene_params
     return cs
+
+
+def _sun_direction(lobj) -> np.ndarray:
+    """LoaderUtils::getDirection (LoaderUtils.cpp:140-156): direction |
+    sun_direction | elevation/azimuth (Y-up EA frame)."""
+    from ignis_tpu.light import skysun
+    return skysun.get_sun_direction(lobj)
 
 
 def _bake_texture(textures, img_tables, tid, bw=1024, bh=512):
