@@ -211,11 +211,19 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         med = st["medium"]
         mctx = _pexpr_ctx(tables, surf, org, d)
         m_sa, m_ss, m_g = medium_coefficients(scene, tables, med, mctx)
-        hitvol = medium_eval(m_sa, m_ss, med, org, surf["point"])
-        inf_tr = medium_eval_inf(m_sa, m_ss, med, org, d)
+        hitvol = medium_eval(scene, tables, med, m_sa, m_ss, org,
+                             surf["point"])
+        inf_tr = medium_eval_inf(scene, tables, med, m_sa, m_ss, org, d)
         was_medium = jnp.signbit(inv_pdf)
         inv_pdf_eff = jnp.maximum(inv_pdf, 0.0)
+        # Lanes continuing a null-scattering flight re-trace the same
+        # segment: suppress the surface/miss/NEE splats they already
+        # contributed at first arrival (the reference loops the null chain
+        # inside on_bounce — volpathtracer.art:209-260 sample_rec — so
+        # those callbacks fire once per original segment).
+        nullfl = st.get("nullfl", jnp.zeros((n,), bool))
     else:
+        nullfl = jnp.zeros((n,), bool)
         hitvol = jnp.ones((n, 3), jnp.float32)
         inf_tr = jnp.ones((n, 3), jnp.float32)
         was_medium = jnp.zeros((n,), bool)
@@ -233,7 +241,8 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
                 mis = jnp.ones((n,), jnp.float32)
             miss_color = miss_color + _handle_color(
                 contrib * emit * inf_tr * mis[..., None], tech.clamp)
-        splat = splat + jnp.where(miss[..., None], miss_color, 0.0)
+        splat = splat + jnp.where((miss & ~nullfl)[..., None],
+                                  miss_color, 0.0)
 
     # ---- on_hit: emissive surfaces (pathtracer.art:115-135)
     if any(l.type in (1, 2, 8) for l in scene.lights):
@@ -249,7 +258,8 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
             mis = 1.0 / (1.0 + inv_pdf_eff * lpdf * pdf_s)
         else:
             mis = jnp.ones((n,), jnp.float32)
-        emit_ok = hit & is_emissive & surf["is_entering"] & (dot_n > FLT_EPS)
+        emit_ok = (hit & is_emissive & surf["is_entering"]
+                   & (dot_n > FLT_EPS) & ~nullfl)
         ec = _handle_color(contrib * radiance * hitvol * mis[..., None],
                            tech.clamp)
         splat = splat + jnp.where(emit_ok[..., None], ec, 0.0)
@@ -257,7 +267,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
     # ---- on_shadow: NEE (pathtracer.art:52-113)
     do_nee = (tech.enable_nee and num_lights > 0)
     if do_nee:
-        nee_active = hit & ~specular & (depth + 1 <= tech.max_depth)
+        nee_active = hit & ~specular & (depth + 1 <= tech.max_depth) & ~nullfl
         lsel, sel_pdf, counter = select_light(
             scene, tables, seed, counter, nee_active)
         ls, counter = sample_light_direct(
@@ -279,8 +289,10 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
             # attenuate by transmittance to this hit + toward the light
             # (volpathtracer.art:40-83)
             from ignis_tpu.medium import medium_eval, medium_eval_inf
-            seg_fin = medium_eval(m_sa, m_ss, med, surf["point"], ls["pos"])
-            seg_inf = medium_eval_inf(m_sa, m_ss, med, surf["point"], ls["dir"])
+            seg_fin = medium_eval(scene, tables, med, m_sa, m_ss,
+                                  surf["point"], ls["pos"])
+            seg_inf = medium_eval_inf(scene, tables, med, m_sa, m_ss,
+                                      surf["point"], ls["dir"])
             seg = jnp.where(ls["infinite"][..., None], seg_inf, seg_fin)
             sc = sc * hitvol * seg
         shadow_valid = (nee_active & (pdf_l_s > FLT_EPS)
@@ -301,31 +313,40 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         max_scat = max([m.get("max_scattering", 8)
                         for m in scene.media] + [8])
         allow_medium = voldepth + 1 <= max_scat
-        ms, counter = medium_sample(m_sa, m_ss, med, seed, counter, org,
-                                    surf["point"],
+        ms, counter = medium_sample(scene, tables, med, m_sa, m_ss, seed,
+                                    counter, org, surf["point"],
                                     can_bounce & allow_medium)
         medium_event = ms["valid"]
 
-        # particle event probabilities (volpathtracer/common.art:39-52)
-        sigma_t = m_sa + m_ss
+        # particle event probabilities from the sample-local homogenized
+        # properties (volpathtracer/common.art:39-52); for heterogeneous
+        # media sigma_n is the fictional (null) coefficient
+        ext_h = ms["sigma_a"] + ms["sigma_s"] + ms["sigma_n"]
         lanes = jnp.arange(n)
-        mu_ind = jnp.argmax(sigma_t, axis=-1)
-        mu_t_p = jnp.maximum(sigma_t[lanes, mu_ind], 1e-30)
-        mu_a_p = m_sa[lanes, mu_ind]
-        mu_s_p = m_ss[lanes, mu_ind]
+        mu_ind = jnp.argmax(ext_h, axis=-1)
+        mu_t_p = jnp.maximum(ext_h[lanes, mu_ind], 1e-30)
+        mu_a_p = ms["sigma_a"][lanes, mu_ind]
+        mu_s_p = ms["sigma_s"][lanes, mu_ind]
         p_a = jnp.where(mu_a_p <= FLT_EPS, 0.0, mu_a_p / mu_t_p)
         p_s = jnp.where(mu_s_p <= FLT_EPS, 0.0, mu_s_p / mu_t_p)
+        p_f = jnp.maximum(1.0 - p_a - p_s, 0.0)
 
         r_ev, counter_ev = rng.next_f32(seed, counter)
         counter = jnp.where(medium_event, counter_ev, counter)
         absorb = medium_event & (r_ev < p_a)
         scatter = medium_event & ~absorb & (r_ev < p_a + p_s)
-        # (homogeneous media have no null-scattering: p_f = 0)
+        null_ev = medium_event & ~absorb & ~scatter
+
+        # absorption event: emission splat (volpathtracer.art:216-221)
+        em_c = (contrib * ms["color"] * ms["sigma_a"] * ms["emission"]
+                * safe_div(1.0, jnp.maximum(p_a, 1e-30))[..., None])
+        splat = splat + jnp.where(absorb[..., None],
+                                  _handle_color(em_c, tech.clamp), 0.0)
 
         # scatter branch: phase sample + RR
         ph_dir, ph_pdf, ph_w, counter = phase_sample(m_g, seed, counter,
                                                      out_dir, scatter)
-        path_contrib = (ms["color"] * m_ss
+        path_contrib = (ms["color"] * ms["sigma_s"]
                         * safe_div(1.0, jnp.maximum(p_s, 1e-30))[..., None]
                         * ph_w[..., None])
         contrib_m = contrib * path_contrib
@@ -358,21 +379,32 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         depth_s = jnp.where(is_transmission, depth, depth + 1)
         voldepth_s = jnp.where(is_transmission, 0, voldepth)
 
-        alive_next = scatter_alive | surf_alive
+        # null-scattering event: continue forward from the fictional
+        # collision with reweighted contribution, voldepth unchanged
+        # (volpathtracer.art:249-259 — the sample_rec recursion)
+        null_contrib = (contrib * ms["color"] * ms["sigma_n"]
+                        * safe_div(1.0, jnp.maximum(p_f, 1e-30))[..., None])
+
+        alive_next = scatter_alive | surf_alive | null_ev
         sc_c = scatter_alive[..., None]
-        org_next = jnp.where(sc_c, ms["pos"], surf["point"])
-        dir_next = jnp.where(sc_c, ph_dir, in_dir)
-        tmin_next = jnp.where(scatter_alive, 0.0, OFFSET)
+        nl_c = null_ev[..., None]
+        med_ev = scatter_alive | null_ev
+        org_next = jnp.where(med_ev[..., None], ms["pos"], surf["point"])
+        dir_next = jnp.where(sc_c, ph_dir, jnp.where(nl_c, d, in_dir))
+        tmin_next = jnp.where(med_ev, 0.0, OFFSET)
         contrib_next = jnp.where(
             sc_c, contrib_m * safe_div(1.0, rr_m)[..., None],
-            contrib_s * safe_div(1.0, rr_s)[..., None])
-        inv_pdf_next = jnp.where(scatter_alive, -1.0,
+            jnp.where(nl_c, null_contrib,
+                      contrib_s * safe_div(1.0, rr_s)[..., None]))
+        inv_pdf_next = jnp.where(med_ev, -1.0,
                                  jnp.where(specular, 0.0,
                                            safe_div(1.0, b_pdf)))
-        depth_next = jnp.where(scatter_alive, depth, depth_s)
-        voldepth_next = jnp.where(scatter_alive, voldepth + 1, voldepth_s)
-        eta_next = jnp.where(scatter_alive, eta, eta * b_eta)
-        med_next = jnp.where(scatter_alive, med, med_s)
+        depth_next = jnp.where(med_ev, depth, depth_s)
+        voldepth_next = jnp.where(scatter_alive, voldepth + 1,
+                                  jnp.where(null_ev, voldepth, voldepth_s))
+        eta_next = jnp.where(med_ev, eta, eta * b_eta)
+        med_next = jnp.where(med_ev, med, med_s)
+        nullfl_next = null_ev
     else:
         in_dir, b_pdf, b_weight, b_eta, b_valid, counter = bsdf_sample(
             scene, tables, mat_type, surf, seed, counter, out_dir,
@@ -398,6 +430,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
         voldepth_next = st.get("voldepth", jnp.zeros((n,), jnp.int32))
         eta_next = eta * b_eta
         med_next = st.get("medium", jnp.full((n,), -1, jnp.int32))
+        nullfl_next = jnp.zeros((n,), bool)
 
     # ---- trace shadow rays & splat (mapping on_shadow_miss)
     if do_nee:
@@ -423,6 +456,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
                          st.get("medium", jnp.full((n,), -1, jnp.int32))),
         voldepth=jnp.where(alive_next, voldepth_next,
                            st.get("voldepth", jnp.zeros((n,), jnp.int32))),
+        nullfl=jnp.where(alive_next, nullfl_next, nullfl) & alive_next,
     )
     return splat, st_next
 
@@ -493,6 +527,7 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         eta=jnp.ones((n,), jnp.float32),
         medium=jnp.full((n,), -1, jnp.int32),
         voldepth=jnp.zeros((n,), jnp.int32),
+        nullfl=jnp.zeros((n,), bool),
         accum=jnp.zeros((n, 3), jnp.float32),
         bounce_index=jnp.int32(0),
     )
@@ -566,6 +601,7 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         eta=jnp.ones((c,), jnp.float32),
         medium=jnp.full((c,), -1, jnp.int32),
         voldepth=jnp.zeros((c,), jnp.int32),
+        nullfl=jnp.zeros((c,), bool),
         pixel=jnp.zeros((c,), jnp.int32),
         next_work=jnp.int32(0),
         fb=jnp.zeros((npix, 3), jnp.float32),
@@ -598,6 +634,7 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st["eta"] = jnp.where(take, 1.0, st["eta"])
         st["medium"] = jnp.where(take, -1, st["medium"])
         st["voldepth"] = jnp.where(take, 0, st["voldepth"])
+        st["nullfl"] = jnp.where(take, False, st["nullfl"])
         st["pixel"] = jnp.where(take, gy * scene.width + gx, st["pixel"])
         st["alive"] = st["alive"] | take
         st["next_work"] = st["next_work"] + jnp.sum(take.astype(jnp.int32))

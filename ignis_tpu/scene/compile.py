@@ -613,11 +613,16 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         camera.dir = np.asarray([0, 0, -1], np.float32)
         camera.up = np.asarray([0, 1, 0], np.float32)
 
-    # ---- media (LoaderMedium.cpp; homogeneous/vacuum; heterogeneous TODO)
+    # ---- media (LoaderMedium.cpp: homogeneous/constant, heterogeneous,
+    #      vacuum; HeterogeneousMedium.cpp for the grid/shader properties)
     media: list[dict] = []
     media_index: dict[str, int] = {}
+    medium_tables: dict[str, np.ndarray] = {}
     nmed = max(1, len(scene.media_order))
     medium_data = np.zeros((nmed, 8), dtype=np.float32)
+    from ignis_tpu.medium.volume import SHADER_ROW, shader_row_from_props
+    medium_shader = np.zeros((nmed, SHADER_ROW), dtype=np.float32)
+    medium_majorant = np.zeros((nmed, 3), dtype=np.float32)
     for mi, mname in enumerate(scene.media_order):
         mobj = scene.media[mname]
         mtype = mobj.get("type", "homogeneous")
@@ -636,6 +641,65 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             else:
                 medium_data[mi, 3:6], _ = _color(ss, (0, 0, 0))
             medium_data[mi, 6], _ = _number(mobj.get("g"), 0.0)
+        elif mtype == "heterogeneous":
+            fn = mobj.get("filename")
+            if fn is None:
+                raise ValueError(f"Heterogeneous medium '{mname}' needs a "
+                                 "filename")
+            path = scene.resolve_path(fn)
+            medium_data[mi, 6], _ = _number(mobj.get("g"), 0.0)
+            row = shader_row_from_props(mobj)
+            medium_shader[mi] = row
+            rec["interpolate"] = bool(mobj.get("interpolate", False))
+            rec["method"] = mobj.get("method", "regular")
+            rec["reference"] = mobj.get("reference")  # entity name or None
+            ext = str(path).rsplit(".", 1)[-1].lower()
+            if ext == "bin":
+                from ignis_tpu.medium.volume import load_voxel_grid_bin
+                grid = load_voxel_grid_bin(path)
+                rec["type"] = "hetero_voxel"
+                # .bin grids default scalar_emission to 1 instead of 0
+                # (HeterogeneousMedium.cpp:206 vs :121)
+                if "scalar_emission" not in mobj:
+                    row[1] = 1.0
+                    medium_shader[mi] = row
+                # simple_volume shader folds scalar_density×scalar_* into
+                # the colors (HeterogeneousMedium.cpp:203-216)
+                css = row[2:5] * row[0] * row[18]
+                csa = row[5:8] * row[0] * row[17]
+                medium_tables[f"vol{mi}_sigma_s"] = grid["sigma_s"]
+                medium_tables[f"vol{mi}_sigma_a"] = grid["sigma_a"]
+                medium_tables[f"vol{mi}_emission"] = grid["emission"]
+                ext_max = (grid["sigma_s"] * css
+                           + grid["sigma_a"] * csa).reshape(-1, 3)
+                medium_majorant[mi] = (ext_max.max(axis=0)
+                                       if ext_max.size else 0.0)
+            elif ext == "nvdb":
+                from ignis_tpu.medium.nanovdb import load_nvdb_grid
+                gname = mobj.get("grid_density", "density")
+                tname = mobj.get("grid_temperature", "none")
+                dens = load_nvdb_grid(path, gname)
+                rec["type"] = "hetero_density"
+                rec["shader"] = mobj.get("shader", "monochromatic")
+                medium_tables[f"vol{mi}_density"] = dens
+                rec["has_temperature"] = tname != "none"
+                if tname != "none":
+                    medium_tables[f"vol{mi}_temperature"] = \
+                        load_nvdb_grid(path, tname)
+                # conservative majorant from max density through the shader
+                from ignis_tpu.medium.volume import apply_density_shader
+                dmax = np.asarray([float(dens.max())] if dens.size else [0.0],
+                                  np.float32)
+                tmax = None
+                if tname != "none":
+                    t_ = medium_tables[f"vol{mi}_temperature"]
+                    tmax = np.asarray([float(t_.max())], np.float32)
+                mss, msa, _ = apply_density_shader(rec["shader"], row,
+                                                   dmax, tmax)
+                medium_majorant[mi] = np.asarray(mss + msa)[0]
+            else:
+                raise ValueError(f"Heterogeneous medium file extension "
+                                 f".{ext} not supported")
         elif mtype == "vacuum":
             rec["type"] = "vacuum"
         else:
@@ -652,6 +716,19 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         eobj = scene.entities[ename]
         ent_inner_medium[ei] = media_index.get(eobj.get("inner_medium", ""), -1)
         ent_outer_medium[ei] = media_index.get(eobj.get("outer_medium", ""), -1)
+
+    # Reference entity per medium: explicit `reference` property, else the
+    # first entity using the medium as inner (LoaderMedium.cpp:61-73)
+    ent_index = {en: i for i, en in enumerate(ent_names)}
+    for mi, rec in enumerate(media):
+        if not rec["type"].startswith("hetero"):
+            continue
+        ref = rec.get("reference")
+        if ref is not None and ref in ent_index:
+            rec["ref_entity"] = ent_index[ref]
+        else:
+            users = np.nonzero(ent_inner_medium == mi)[0]
+            rec["ref_entity"] = int(users[0]) if users.size else 0
 
     # ---- lights
     lights: list[LightInfo] = []
@@ -929,6 +1006,9 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         "ent_inner_medium": ent_inner_medium,
         "ent_outer_medium": ent_outer_medium,
         "medium_data": medium_data,
+        "medium_shader": medium_shader,
+        "medium_majorant": medium_majorant,
+        **medium_tables,
         "ent_tri_offset": ent_tri_offset, "ent_tri_count": ent_tri_count,
         "mat_colors": mat_colors, "mat_scalars": mat_scalars,
         "mat_tex": mat_tex,
