@@ -199,3 +199,41 @@ def test_emissive_voxel_grid(tmp_path):
     img = rt.currentFrame()
     assert np.isfinite(img).all()
     assert img.mean() > 0.05  # glowing volume visible
+
+
+def test_nvdb_roundtrip(tmp_path):
+    """NanoVDB writer→reader round trip preserves the dense grid."""
+    from ignis_tpu.medium.nanovdb import load_nvdb_grid, write_nvdb_grid
+    rng = np.random.default_rng(7)
+    dense = rng.uniform(0, 1, (12, 9, 17)).astype(np.float32)
+    dense[dense < 0.3] = 0.0  # sparsity: some empty leaves
+    p = tmp_path / "t.nvdb"
+    write_nvdb_grid(p, dense, "density")
+    back = load_nvdb_grid(p, "density")
+    np.testing.assert_allclose(back, dense, rtol=1e-6)
+    with pytest.raises(ValueError):
+        load_nvdb_grid(p, "temperature")
+
+
+def test_nvdb_medium_end_to_end(tmp_path):
+    """hetero_density medium via .nvdb renders finite, nonzero output."""
+    from ignis_tpu.api import load_scene
+    from ignis_tpu.medium.nanovdb import write_nvdb_grid
+
+    dense = np.full((8, 8, 8), 0.8, np.float32)
+    p = tmp_path / "cloud.nvdb"
+    write_nvdb_grid(p, dense, "density")
+    scene = _hetero_scene(tmp_path, [0, 0, 0], [0, 0, 0])
+    scene["media"] = [{"type": "heterogeneous", "name": "Med",
+                       "filename": str(p), "shader": "monochromatic",
+                       "scalar_density": 1.0, "scalar_scattering": 1.0,
+                       "scalar_absorption": 0.2, "g": 0.0}]
+    rt = load_scene(json.dumps(scene))
+    assert rt.scene.media[0]["type"] == "hetero_density"
+    np.testing.assert_allclose(
+        np.asarray(rt.tables["medium_majorant"][0]), 0.8 * 1.2, rtol=1e-5)
+    for _ in range(2):
+        rt.step(spi=4)
+    img = rt.currentFrame()
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
