@@ -79,6 +79,20 @@ class Runtime:
                                          "lightvisibility", "camera_check",
                                          "infobuffer"):
             self._wavefront_ok = False
+        if self.scene.technique.type in ("lighttracer", "lt"):
+            from ignis_tpu.render.lighttracer import render_lighttracer
+            self._render_lt = jax.jit(
+                partial(render_lighttracer, self.scene),
+                static_argnames=("n_paths",))
+        if self.scene.technique.type in ("photonmapper", "ppm", "sppm"):
+            from ignis_tpu.render.photonmapper import (
+                render_ppm, trace_photons)
+            self._trace_photons = jax.jit(
+                partial(trace_photons, self.scene),
+                static_argnames=("n_photons",))
+            self._render_ppm = jax.jit(
+                partial(render_ppm, self.scene),
+                static_argnames=("max_count",))
         self._render_wavefront = jax.jit(
             partial(render_wavefront, self.scene),
             static_argnames=("capacity", "spi"))
@@ -105,6 +119,39 @@ class Runtime:
         """Render `spi` samples/pixel for this iteration and accumulate."""
         w, h = self.scene.width, self.scene.height
         npix = w * h
+        tech = self.scene.technique.type
+        if tech in ("lighttracer", "lt"):
+            fb = self._render_lt(self.tables, n_paths=npix * spi,
+                                 iteration=jnp.uint32(self.iteration),
+                                 frame=jnp.uint32(self.frame),
+                                 user_seed=self.seed)
+            self._accum += np.asarray(fb)
+            self._samples += spi
+            self.iteration += 1
+            return
+        if tech in ("photonmapper", "ppm", "sppm"):
+            from ignis_tpu.render.photonmapper import (
+                build_photon_grid, ppm_compute_radius)
+            nph = int(self.scene.technique.photons)
+            photons = self._trace_photons(
+                self.tables, n_photons=nph,
+                iteration=jnp.uint32(self.iteration),
+                frame=jnp.uint32(self.frame), user_seed=self.seed)
+            grid = build_photon_grid(self.scene, photons)
+            radius = ppm_compute_radius(
+                self.scene.technique.merge_radius
+                * 2.0 * self.scene.scene_radius(), self.iteration)
+            for sample in range(spi):
+                idx = np.arange(npix, dtype=np.int32)
+                fb = self._render_ppm(
+                    self.tables, grid, jnp.asarray(idx % w),
+                    jnp.asarray(idx // w), jnp.uint32(sample),
+                    jnp.uint32(self.iteration), jnp.uint32(self.frame),
+                    self.seed, jnp.float32(radius), max_count=nph)
+                self._accum += np.asarray(fb)
+            self._samples += spi
+            self.iteration += 1
+            return
         if self._wavefront_ok:
             total = npix * spi
             idx = np.arange(total, dtype=np.int64)

@@ -83,3 +83,45 @@ def generate_rays(cam: CameraConfig, nx, ny):
     dirs = normalize(world)
     org = jnp.broadcast_to(jnp.asarray(cam.eye, jnp.float32), dirs.shape)
     return org, dirs, tmin, tmax
+
+
+def sample_pixel(cam: CameraConfig, pos):
+    """Connect world points to the camera (light-tracer splats).
+
+    Counterpart of Camera.sample_pixel / perspective_pos_to_pixel
+    (camera/perspective.art:16-26,43-57): returns dict(valid, nx, ny,
+    dir (UNNORMALIZED point→eye vector), weight).  Perspective and
+    orthogonal cameras; fishlens connections are not supported (matching
+    the reference, whose fishlens camera has no inverse map either).
+    """
+    right, up, d = camera_frame(cam)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    n = pos.shape[0]
+    if cam.type == "orthogonal":
+        sw, sh = float(cam.scale[0]), float(cam.scale[1])
+        rel = pos - eye
+        nx = (rel @ right) / sw
+        ny = (rel @ up) / sh
+        depth = rel @ d
+        valid = ((nx >= -1) & (nx <= 1) & (ny >= -1) & (ny <= 1)
+                 & (depth > 0))
+        sdir = -d * depth[..., None]
+        weight = jnp.ones((n,), jnp.float32)
+        return dict(valid=valid, nx=nx, ny=ny, dir=sdir, weight=weight)
+    if cam.type == "fishlens":
+        z = jnp.zeros((n,), jnp.float32)
+        return dict(valid=jnp.zeros((n,), bool), nx=z, ny=z,
+                    dir=jnp.zeros((n, 3), jnp.float32), weight=z)
+    sw, sh = float(cam.scale[0]), float(cam.scale[1])
+    rel = pos - eye
+    un_x = rel @ right
+    un_y = rel @ up
+    un_z = rel @ d
+    safe_z = jnp.where(jnp.abs(un_z) < 1e-12, 1e-12, un_z)
+    nx = un_x / (safe_z * sw)
+    ny = un_y / (safe_z * sh)
+    valid = (nx >= -1) & (nx <= 1) & (ny >= -1) & (ny <= 1) & (un_z > 0)
+    sdir = eye - pos
+    # image_area jacobian = 1 (perspective.art:36,47)
+    weight = jnp.ones((n,), jnp.float32)
+    return dict(valid=valid, nx=nx, ny=ny, dir=sdir, weight=weight)

@@ -150,6 +150,10 @@ class TechniqueConfig:
     # debug / ao specific
     debug_mode: str = "normal"
     ao_radius: float = 0.0
+    # photonmapper (PhotonMappingTechnique.cpp:14-20)
+    photons: int = 1000000
+    merge_radius: float = 0.01   # fraction of scene diameter
+    max_light_depth: int = 8
 
 
 @dataclass
@@ -267,6 +271,9 @@ def _compile_technique(scene: Scene) -> TechniqueConfig:
         aov_mis=bool(tech.get("aov_mis", False)),
         debug_mode=tech.get("mode", "normal"),
         ao_radius=float(tech.get("radius", 0.0)),
+        photons=max(100, int(tech.get("photons", 1000000))),
+        merge_radius=float(tech.get("radius", 0.01)),
+        max_light_depth=int(tech.get("max_light_depth", 8)),
     )
 
 
