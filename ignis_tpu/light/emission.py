@@ -58,6 +58,11 @@ def sample_light_emission(scene, tables, light_idx, seed, counter, active):
     inten = jnp.zeros((n, 3), jnp.float32)
     cos = jnp.ones((n,), jnp.float32)
     infinite = jnp.zeros((n,), bool)
+    # direct-visibility helpers for the light tracer's depth-0 camera
+    # connection (the vertex the reference's LT drops, lighttracer.art:60):
+    # le_area = Le / pdf_A (0 for delta/infinite emitters), nrm = face normal
+    le_area = jnp.zeros((n, 3), jnp.float32)
+    nrm_out = jnp.zeros((n, 3), jnp.float32)
 
     for lid, info in enumerate(scene.lights):
         m = light_idx == lid
@@ -145,15 +150,27 @@ def sample_light_emission(scene, tables, light_idx, seed, counter, active):
             c_l = jnp.ones((n,), jnp.float32)
         else:
             continue
+        if info.type == LIGHT_AREA_PLANE:
+            data_ = tables["light_data"][lid]
+            la = data_[13:16] * data_[12]            # radiance * area
+            ln = jnp.broadcast_to(data_[9:12], (n, 3))
+        elif info.type == LIGHT_AREA_MESH:
+            la = i_l * cpdf[..., None]               # radiance / pdf_A
+            ln = fn
+        else:
+            la = jnp.zeros((n, 3), jnp.float32)
+            ln = sd
         mc = m[..., None]
         pos = jnp.where(mc, p_l, pos)
         d = jnp.where(mc, sd, d)
         inten = jnp.where(mc, i_l, inten)
         cos = jnp.where(m, c_l, cos)
         infinite = jnp.where(m, info.infinite, infinite)
+        le_area = jnp.where(mc, la, le_area)
+        nrm_out = jnp.where(mc, ln, nrm_out)
 
     return dict(pos=pos, dir=d, intensity=inten, cos=cos,
-                infinite=infinite), counter
+                infinite=infinite, le_area=le_area, nrm=nrm_out), counter
 
 
 def _env_radiance_dir(scene, tables, lid, out_dir):

@@ -93,6 +93,14 @@ def sample_pixel(cam: CameraConfig, pos):
     dir (UNNORMALIZED point→eye vector), weight).  Perspective and
     orthogonal cameras; fishlens connections are not supported (matching
     the reference, whose fishlens camera has no inverse map either).
+
+    Unlike the reference (which sets image_area=1 with a TODO,
+    perspective.art:36,47, making its light tracer dimmer than its path
+    tracer), `weight` here is the true pinhole importance so that
+    splat * weight * cos_i/(cos_o*d2) * bsdf_eval(out,in) integrates to
+    the same pixel value the path tracer computes:
+      perspective: W = 1 / (4*sw*sh*cos^3 theta)   (film at unit dist)
+      orthogonal:  W = depth^2 / (4*sw*sh)         (cancels the 1/d2)
     """
     right, up, d = camera_frame(cam)
     eye = jnp.asarray(cam.eye, jnp.float32)
@@ -106,7 +114,7 @@ def sample_pixel(cam: CameraConfig, pos):
         valid = ((nx >= -1) & (nx <= 1) & (ny >= -1) & (ny <= 1)
                  & (depth > 0))
         sdir = -d * depth[..., None]
-        weight = jnp.ones((n,), jnp.float32)
+        weight = depth * depth / jnp.float32(4.0 * sw * sh)
         return dict(valid=valid, nx=nx, ny=ny, dir=sdir, weight=weight)
     if cam.type == "fishlens":
         z = jnp.zeros((n,), jnp.float32)
@@ -122,6 +130,7 @@ def sample_pixel(cam: CameraConfig, pos):
     ny = un_y / (safe_z * sh)
     valid = (nx >= -1) & (nx <= 1) & (ny >= -1) & (ny <= 1) & (un_z > 0)
     sdir = eye - pos
-    # image_area jacobian = 1 (perspective.art:36,47)
-    weight = jnp.ones((n,), jnp.float32)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(rel * rel, axis=-1), 1e-20))
+    cos_t = jnp.clip(un_z / dist, 1e-6, 1.0)
+    weight = 1.0 / (jnp.float32(4.0 * sw * sh) * cos_t * cos_t * cos_t)
     return dict(valid=valid, nx=nx, ny=ny, dir=sdir, weight=weight)

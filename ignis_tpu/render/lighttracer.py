@@ -61,9 +61,6 @@ def render_lighttracer(scene, tables, n_paths, iteration, frame, user_seed):
     tmin = jnp.where(em["infinite"], 0.0, OFFSET)
 
     fb = jnp.zeros((npix, 3), jnp.float32)
-    st = dict(org=org, dir=d, tmin=tmin, alive=active, contrib=contrib,
-              counter=counter, eta=jnp.ones((n_paths,), jnp.float32),
-              fb=fb)
 
     # ray visibility masks (light rays use the light flag bit first, then
     # bounce; shadow rays use the shadow bit — LoaderEntity.cpp:123-131)
@@ -71,6 +68,31 @@ def render_lighttracer(scene, tables, n_paths, iteration, frame, user_seed):
                  else _tri_mask_for(tables, RAY_BOUNCE))
     shadow_mask = (None if _flags_trivial(scene, RAY_SHADOW)
                    else _tri_mask_for(tables, RAY_SHADOW))
+
+    # depth-0 splat: connect the emission vertex itself to the camera so
+    # directly visible area lights render.  The reference's LT drops this
+    # vertex (lighttracer.art:60 "TODO: This ignores the first vertex on
+    # the light surface"); we keep it for path-tracer parity.
+    cs0 = sample_pixel(scene.camera, org)
+    in0 = normalize(cs0["dir"])
+    cos_e = dot(in0, em["nrm"])          # > 0: camera sees emitting face
+    has_le = jnp.max(em["le_area"], axis=-1) > 0.0
+    can0 = active & ~em["infinite"] & has_le & cs0["valid"] & (cos_e > FLT_EPS)
+    d2_0 = jnp.maximum(dot(cs0["dir"], cs0["dir"]), 1e-12)
+    occ0 = _traverse_any(scene, tables, org, cs0["dir"],
+                         jnp.full((n_paths,), OFFSET, jnp.float32),
+                         jnp.full((n_paths,), 1.0 - OFFSET, jnp.float32),
+                         shadow_mask)
+    splat0 = _handle(em["le_area"] * safe_div(1.0, sel_pdf)[..., None]
+                     * (cs0["weight"] * cos_e / d2_0)[..., None], tech.clamp)
+    px0 = jnp.clip(((cs0["nx"] + 1.0) * 0.5 * w).astype(jnp.int32), 0, w - 1)
+    py0 = jnp.clip(((1.0 - cs0["ny"]) * 0.5 * h).astype(jnp.int32), 0, h - 1)
+    fb = fb.at[py0 * w + px0].add(
+        jnp.where((can0 & ~occ0)[..., None], splat0, 0.0))
+
+    st = dict(org=org, dir=d, tmin=tmin, alive=active, contrib=contrib,
+              counter=counter, eta=jnp.ones((n_paths,), jnp.float32),
+              fb=fb)
 
     def bounce(depth, st):
         org, d = st["org"], st["dir"]

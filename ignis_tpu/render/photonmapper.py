@@ -177,7 +177,8 @@ def gather_photons(scene, tables, grid, surf, mat_type, out_dir, radius,
     r2 = radius * radius
     cos_o = dot(out_dir, surf["n"])
 
-    lo = _cell_of(pos - radius, grid["bbox_min"], grid["inv_ext"])
+    lo = _cell_of(pos - radius[..., None], grid["bbox_min"],
+                  grid["inv_ext"])
     contrib = jnp.zeros((n, 3), jnp.float32)
 
     csort = grid["cell_sorted"]

@@ -29,13 +29,12 @@ def _box_scene(tech):
             {"type": "rectangle", "name": "light", "width": 0.5,
              "height": 0.5,
              "transform": [{"translate": [0, 0.95, 0]},
-                           {"rotate": [-90, 0, 0]}]},
+                           {"rotate": [90, 0, 0]}]},  # face DOWN into box
             {"type": "rectangle", "name": "floor", "width": 2, "height": 2,
              "transform": [{"translate": [0, -1, 0]},
                            {"rotate": [-90, 0, 0]}]},
             {"type": "rectangle", "name": "back", "width": 2, "height": 2,
-             "transform": [{"translate": [0, 0, 1]},
-                           {"rotate": [180, 0, 0]}]},
+             "transform": [{"translate": [0, 0, -1]}]},  # faces camera (+z)
         ],
         "entities": [
             {"name": "light", "shape": "light", "bsdf": "white"},
