@@ -193,6 +193,26 @@ class Runtime:
         w, h = self.scene.width, self.scene.height
         return self._accum.reshape(h, w, 3)
 
+    # ------------------------------------------------------------------ glare
+    def evaluateGlare(self, settings=None, **kw):
+        """DGP glare analysis of the current frame (Runtime.cpp:640-652).
+
+        Returns (GlareOutput, heatmap HxWx3 float, glare-source mask HxW).
+        If settings.avg is 0, the image-average luminance is filled in the
+        way igview does (UI.cpp:651 passes imageinfo's avg)."""
+        from ignis_tpu.render.glare import (GlareSettings, evaluate_glare_host,
+                                            srgb_to_xyY)
+        if settings is None:
+            settings = GlareSettings(**kw)
+        img = self.currentFrame()
+        if settings.avg <= 0 or settings.max <= 0:
+            y = np.asarray(srgb_to_xyY(jnp.asarray(img * settings.scale)))[..., 2]
+            if settings.avg <= 0:
+                settings.avg = float(np.mean(y))
+            if settings.max <= 0:
+                settings.max = float(np.max(y))
+        return evaluate_glare_host(self.scene.camera, img, settings)
+
     # ------------------------------------------------------------------ trace
     def trace(self, rays, spp=1) -> np.ndarray:
         """Ray-list tracing: rays = [(org, dir[, tmin, tmax]), ...].
