@@ -29,8 +29,8 @@ from ignis_tpu.core.vec import (
 )
 from ignis_tpu.core.warp import cosine_hemisphere_pdf, sample_cosine_hemisphere
 from ignis_tpu.scene.compile import (
-    BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_KLEMS,
-    BSDF_PASSTHROUGH, BSDF_PHONG, BSDF_PLASTIC, BSDF_PRINCIPLED,
+    BSDF_CONDUCTOR, BSDF_DIELECTRIC, BSDF_DIFFUSE, BSDF_DJMEASURED,
+    BSDF_KLEMS, BSDF_PASSTHROUGH, BSDF_PHONG, BSDF_PLASTIC, BSDF_PRINCIPLED,
     BSDF_ROUGH_CONDUCTOR, BSDF_ROUGH_DIELECTRIC, BSDF_ROUGH_PLASTIC,
     BSDF_TENSORTREE,
 )
@@ -49,6 +49,7 @@ _SAMPLE_DRAWS = {
     BSDF_PRINCIPLED: 3,         # lobe pick + 2 (principled.art sample)
     BSDF_KLEMS: 3,              # cosine sample + refl/trans pick
     BSDF_TENSORTREE: 3,         # same sampler family as klems
+    BSDF_DJMEASURED: 2,         # luminance+vndf warp (djmeasured.art:755)
 }
 
 _SPECULAR = {BSDF_DIELECTRIC, BSDF_CONDUCTOR, BSDF_PASSTHROUGH}
@@ -561,6 +562,13 @@ def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir):
                 kv = tensortree_eval(tables, f"tt{mid}", info, colors[:, 0],
                                      info["up"], surf, in_dir, out_dir)
                 v = jnp.where((surf["mat_id"] == mid)[..., None], kv, v)
+        elif t == BSDF_DJMEASURED:
+            from ignis_tpu.measured.djmeasured import dj_eval
+            v = jnp.zeros(in_dir.shape, jnp.float32)
+            for mid, info in scene.djmeasured_info.items():
+                kv = dj_eval(tables, f"dj{mid}", info, colors[:, 0], surf,
+                             in_dir, out_dir)
+                v = jnp.where((surf["mat_id"] == mid)[..., None], kv, v)
         else:
             continue  # specular types eval to black
         out = jnp.where((mat_type == t)[..., None], v, out)
@@ -600,6 +608,12 @@ def bsdf_pdf(scene, tables, mat_type, surf, in_dir, out_dir):
             for mid, info in scene.tensortree_info.items():
                 kv = tensortree_pdf(tables, f"tt{mid}", info, info["up"],
                                     surf, in_dir, out_dir)
+                v = jnp.where(surf["mat_id"] == mid, kv, v)
+        elif t == BSDF_DJMEASURED:
+            from ignis_tpu.measured.djmeasured import dj_pdf
+            v = jnp.zeros(mat_type.shape, jnp.float32)
+            for mid, info in scene.djmeasured_info.items():
+                kv = dj_pdf(tables, f"dj{mid}", info, surf, in_dir, out_dir)
                 v = jnp.where(surf["mat_id"] == mid, kv, v)
         else:
             continue
@@ -687,6 +701,22 @@ def bsdf_sample(scene, tables, mat_type, surf, seed, counter, out_dir,
                 kr = tensortree_sample(tables, f"tt{mid}", info, colors[:, 0],
                                        info["up"], surf, us[0], us[1], us[2],
                                        out_dir)
+                km = surf["mat_id"] == mid
+                r[0] = jnp.where(km[..., None], kr[0], r[0])
+                r[1] = jnp.where(km, kr[1], r[1])
+                r[2] = jnp.where(km[..., None], kr[2], r[2])
+                r[3] = jnp.where(km, kr[3], r[3])
+                r[4] = jnp.where(km, kr[4], r[4])
+            r = tuple(r)
+        elif t == BSDF_DJMEASURED:
+            from ignis_tpu.measured.djmeasured import dj_sample
+            n_ = mat_type.shape[0]
+            r = [jnp.zeros((n_, 3), jnp.float32), jnp.zeros((n_,), jnp.float32),
+                 jnp.zeros((n_, 3), jnp.float32), jnp.ones((n_,), jnp.float32),
+                 jnp.zeros((n_,), bool)]
+            for mid, info in scene.djmeasured_info.items():
+                kr = dj_sample(tables, f"dj{mid}", info, colors[:, 0], surf,
+                               us[0], us[1], out_dir)
                 km = surf["mat_id"] == mid
                 r[0] = jnp.where(km[..., None], kr[0], r[0])
                 r[1] = jnp.where(km, kr[1], r[1])

@@ -401,6 +401,10 @@ def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray,
     if btype == "tensortree":
         ccolor(0, "base_color", (1, 1, 1))
         return BSDF_TENSORTREE
+    if btype == "djmeasured":
+        # DJMeasuredBSDF.cpp:32 — tint defaults to white
+        ccolor(0, "tint", (1, 1, 1))
+        return BSDF_DJMEASURED
     if btype in ("passthrough", "null"):
         return BSDF_PASSTHROUGH
     # Unknown → signal-pink error BSDF semantics (ErrorBSDF.cpp): bright diffuse
@@ -461,8 +465,25 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     # measured materials: per-material device tables + static info
     klems_info = {}
     tt_info = {}
+    dj_info = {}
     klems_tables_all = {}
     for i, nname in enumerate(bsdf_names):
+        if bsdf_types[i] == BSDF_DJMEASURED:
+            obj = scene.bsdfs[nname]
+            from ignis_tpu.measured.djmeasured import load_brdf
+            try:
+                tbl, info = load_brdf(scene.resolve_path(obj["filename"]),
+                                      f"dj{i}")
+            except Exception as e:
+                import warnings
+                warnings.warn(f"Failed to load djmeasured "
+                              f"'{obj.get('filename')}': {e}")
+                bsdf_types[i] = BSDF_DIFFUSE
+                mat_colors[i, 0] = np.float32([1, 0, 1])
+                continue
+            dj_info[i] = info
+            klems_tables_all.update(tbl)
+            continue
         if bsdf_types[i] == BSDF_TENSORTREE:
             obj = scene.bsdfs[nname]
             from ignis_tpu.measured.tensortree import (
@@ -1039,6 +1060,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     cs.halton_setup = halton_setup
     cs.klems_info = klems_info
     cs.tensortree_info = tt_info
+    cs.djmeasured_info = dj_info
     cs.parameter_values = scene_params
     return cs
 
