@@ -34,12 +34,15 @@ def main():
         from __graft_entry__ import _demo_scene
         rt = Runtime(_demo_scene(), width=size, height=size)
 
-    # ---- forward throughput (wavefront renderer)
+    # ---- forward throughput (wavefront renderer); steps are async so the
+    # accumulation buffer is materialized inside the timed region
     rt.step(spi=1)  # warm-up (compile)
+    jax.block_until_ready(rt._accum)
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         rt.step(spi=spi)
+    jax.block_until_ready(rt._accum)
     dt = time.perf_counter() - t0
     samples = size * size * spi * iters
     fwd_msps = samples / dt / 1e6

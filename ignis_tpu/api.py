@@ -42,6 +42,8 @@ if _os.environ.get("IGNIS_TPU_PLATFORM"):
 # while_loop step); below this soup size the single fused brute-force
 # Möller-Trumbore sweep is measured ~50x faster per step.  See ops/bvh.py.
 _BVH_MIN_TRIS = 8192
+# Packet-BVH engagement threshold for the Pallas TPU kernel (ops/pallas_bvh).
+_PB_MIN_TRIS = 4096
 
 
 class Runtime:
@@ -52,20 +54,37 @@ class Runtime:
         ntris = tables["tri_v0"].shape[0]
         if use_bvh is None:
             use_bvh = ntris > _BVH_MIN_TRIS
-        if use_bvh and ntris > 0:
+        if ntris > 0:
             from ignis_tpu.ops.bvh import build_bvh, bvh_tables
             bvh = build_bvh(np.asarray(tables["tri_v0"]),
                             np.asarray(tables["tri_e1"]),
                             np.asarray(tables["tri_e2"]))
-            tables = bvh_tables(bvh, tables)
+            if use_bvh:  # XLA per-lane traversal tables (CPU path)
+                tables = bvh_tables(bvh, tables)
+            if ntris >= _PB_MIN_TRIS:
+                # packet-BVH tables for the Pallas TPU kernel; below the
+                # threshold the fused brute-force sweep is faster (packet
+                # divergence on incoherent bounce waves costs more than the
+                # full soup test — measured on diamond_scene).
+                from ignis_tpu.ops.pallas_bvh import build_packet_bvh
+                ent_flags = np.asarray(tables["ent_flags"])
+                tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
+                tables = dict(tables)
+                tables.update(build_packet_bvh(
+                    bvh, tables["tri_v0"], tables["tri_e1"],
+                    tables["tri_e2"], tri_flags))
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.seed = int(seed)
         self.iteration = 0
         self.frame = 0
         self.tile_size = int(tile_size)
         w, h = self.scene.width, self.scene.height
-        self._accum = np.zeros((h * w, 3), dtype=np.float32)
+        # Device-resident accumulation (the reference keeps the framebuffer
+        # sum on-device too, Device.cpp:94-100); host only sees it at
+        # currentFrame()/save time.
+        self._accum = jnp.zeros((h * w, 3), dtype=jnp.float32)
         self._samples = 0
+        self._work_cache = {}
         self._render_tile = jax.jit(
             partial(trace_wave, self.scene),
             static_argnames=())
@@ -111,7 +130,7 @@ class Runtime:
 
     # ------------------------------------------------------------------ render
     def reset(self):
-        self._accum[:] = 0
+        self._accum = jnp.zeros_like(self._accum)
         self._samples = 0
         self.iteration = 0
 
@@ -125,7 +144,7 @@ class Runtime:
                                  iteration=jnp.uint32(self.iteration),
                                  frame=jnp.uint32(self.frame),
                                  user_seed=self.seed)
-            self._accum += np.asarray(fb)
+            self._accum = self._accum + fb
             self._samples += spi
             self.iteration += 1
             return
@@ -148,24 +167,26 @@ class Runtime:
                     jnp.asarray(idx // w), jnp.uint32(sample),
                     jnp.uint32(self.iteration), jnp.uint32(self.frame),
                     self.seed, jnp.float32(radius), max_count=nph)
-                self._accum += np.asarray(fb)
+                self._accum = self._accum + fb
             self._samples += spi
             self.iteration += 1
             return
         if self._wavefront_ok:
             total = npix * spi
-            idx = np.arange(total, dtype=np.int64)
-            pix = (idx % npix).astype(np.int32)
-            work_x = jnp.asarray(pix % w)
-            work_y = jnp.asarray(pix // w)
-            work_s = jnp.asarray((idx // npix).astype(np.uint32))
+            if spi not in self._work_cache:
+                idx = np.arange(total, dtype=np.int64)
+                pix = (idx % npix).astype(np.int32)
+                self._work_cache[spi] = (
+                    jnp.asarray(pix % w), jnp.asarray(pix // w),
+                    jnp.asarray((idx // npix).astype(np.uint32)))
+            work_x, work_y, work_s = self._work_cache[spi]
             capacity = int(min(self.tile_size, max(8192, 1 << int(np.ceil(
                 np.log2(max(total, 1)))))))
             fb = self._render_wavefront(
                 self.tables, work_x, work_y, work_s,
                 jnp.uint32(self.iteration), jnp.uint32(self.frame),
                 self.seed, capacity=capacity, spi=spi)
-            self._accum += np.asarray(fb)
+            self._accum = self._accum + fb
         else:
             tile = min(self.tile_size, npix)
             for sample in range(spi):
@@ -179,7 +200,8 @@ class Runtime:
                         self.tables, x, y,
                         jnp.uint32(sample), jnp.uint32(self.iteration),
                         jnp.uint32(self.frame), self.seed)
-                    self._accum[start:start + count] += np.asarray(color)[:count]
+                    self._accum = self._accum.at[start:start + count].add(
+                        color[:count])
         self._samples += spi
         self.iteration += 1
 
@@ -187,11 +209,11 @@ class Runtime:
         """Normalized framebuffer (H, W, 3)."""
         w, h = self.scene.width, self.scene.height
         norm = max(1, self._samples)
-        return (self._accum / norm).reshape(h, w, 3)
+        return (np.asarray(self._accum) / norm).reshape(h, w, 3)
 
     def rawFramebuffer(self) -> np.ndarray:
         w, h = self.scene.width, self.scene.height
-        return self._accum.reshape(h, w, 3)
+        return np.asarray(self._accum).reshape(h, w, 3)
 
     # ------------------------------------------------------------------ glare
     def evaluateGlare(self, settings=None, **kw):

@@ -72,8 +72,19 @@ def _flags_trivial(scene, bit=None):
     return bool(((ent_flags & bit) != 0).all())
 
 
-def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask):
-    """Closest-hit dispatch: BVH > Pallas brute force > XLA brute force."""
+def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
+                      mask_bit=None):
+    """Closest-hit dispatch: packet BVH (TPU) > Pallas brute > XLA paths.
+
+    `tri_mask` is the per-triangle visibility array for the XLA/brute paths;
+    `mask_bit` the equivalent ray-class bit (MASK_CAMERA/BOUNCE/SHADOW) for
+    the packet kernel, whose leaves carry packed visibility bits.
+    """
+    if _use_pallas(org) and "pb_nodes_f" in tables:
+        from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, packet_bvh_closest
+        return packet_bvh_closest(tables, org, d, tmin, tmax,
+                                  mask_bit=(MASK_BOUNCE if mask_bit is None
+                                            else mask_bit))
     if "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_closest
         return bvh_closest(tables, org, d, tmin, tmax, tri_mask=tri_mask)
@@ -87,7 +98,13 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask):
                              tri_mask=tri_mask)
 
 
-def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask):
+def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
+                  mask_bit=None):
+    if _use_pallas(org) and "pb_nodes_f" in tables:
+        from ignis_tpu.ops.pallas_bvh import MASK_SHADOW, packet_bvh_any
+        return packet_bvh_any(tables, org, d, tmin, tmax,
+                              mask_bit=(MASK_SHADOW if mask_bit is None
+                                        else mask_bit))
     if "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_any
         return bvh_any(tables, org, d, tmin, tmax, tri_mask=tri_mask)
@@ -157,7 +174,7 @@ def _pexpr_ctx(tables, surf, org, d):
                 entity_id=surf["ent"])
 
 
-def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
+def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
     """One wavefront bounce for all lanes of `st`.
 
     st keys: org, dir, tmin, tmax, alive, seed, counter, inv_pdf, contrib,
@@ -189,7 +206,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask):
     n = org.shape[0]
 
     t, u, v, prim = _traverse_closest(scene, tables, org, d, st["tmin"],
-                                      st["tmax"], tri_mask)
+                                      st["tmax"], tri_mask, mask_bit=mask_bit)
     hit = alive & (prim >= 0)
     miss = alive & ~hit
     splat = jnp.zeros((n, 3), jnp.float32)
@@ -544,8 +561,11 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         else:
             tri_mask = jnp.where(state["bounce_index"] == 0, mask_cam,
                                  mask_bounce)
+        from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, MASK_CAMERA
+        mbit = jnp.where(state["bounce_index"] == 0,
+                         jnp.int32(MASK_CAMERA), jnp.int32(MASK_BOUNCE))
         splat, st_next = _bounce_core(scene, tables, state, tri_mask,
-                                      shadow_mask)
+                                      shadow_mask, mask_bit=mbit)
         st_next["accum"] = state["accum"] + splat
         st_next["bounce_index"] = state["bounce_index"] + 1
         return st_next
@@ -558,13 +578,31 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
             return bounce_body(s), None
         state, _ = jax.lax.scan(scan_body, state, None,
                                 length=min(tech.max_depth, 64))
-    else:
+        return state["accum"]
+
+    tail_cap = 2048
+    if n <= tail_cap * 2:
         state = jax.lax.while_loop(cond, bounce_body, state)
-    return state["accum"]
+        return state["accum"]
+
+    # tail cascade (see render_wavefront): full-width waves while busy, then
+    # compact the survivors into a narrow wave and scatter their radiance
+    # back per lane.
+    def cond_wide(st):
+        return jnp.sum(st["alive"].astype(jnp.int32)) > tail_cap
+
+    state = jax.lax.while_loop(cond_wide, bounce_body, state)
+    order = jnp.argsort(~state["alive"])[:tail_cap]
+    tail = {k: (v[order] if k not in ("bounce_index",) else v)
+            for k, v in state.items()}
+    tail["accum"] = jnp.zeros((tail_cap, 3), jnp.float32)
+    tail = jax.lax.while_loop(cond, bounce_body, tail)
+    return state["accum"].at[order].add(tail["accum"])
 
 
 def render_wavefront(scene, tables, work_x, work_y, work_sample,
-                     iteration, frame, user_seed, capacity, spi=1):
+                     iteration, frame, user_seed, capacity, spi=1,
+                     tail_capacity=4096):
     """Render a full work list through a fixed-capacity regenerating wave.
 
     work_*: (W,) per-work-item pixel x/y and sample index.  Returns the
@@ -572,6 +610,11 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
     the reference's regenerate/trace/shade loop with bounded queues
     (mapping_cpu.art:694-836) — dead lanes immediately pick up fresh camera
     work, so tail bounces of long paths never run at low occupancy.
+
+    Tail cascade: once the work list is exhausted and the survivor count
+    fits `tail_capacity`, the alive lanes are compacted into a narrow wave
+    so the long-path tail doesn't pay full-wave cost per bounce (measured:
+    ~80% of iterations on glass scenes run at <4% occupancy otherwise).
     """
     tech = scene.technique
     w_total = work_x.shape[0]
@@ -649,11 +692,40 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st_next["fb"] = fb
         return st_next
 
-    def cond(st):
-        return (st["next_work"] < w_total) | jnp.any(st["alive"])
+    tail_cap = int(min(tail_capacity, c))
+    if tail_cap >= c:
+        def cond(st):
+            return (st["next_work"] < w_total) | jnp.any(st["alive"])
+        state = jax.lax.while_loop(cond, body, state)
+        return state["fb"]
 
-    state = jax.lax.while_loop(cond, body, state)
-    return state["fb"]
+    def cond_wide(st):
+        return ((st["next_work"] < w_total)
+                | (jnp.sum(st["alive"].astype(jnp.int32)) > tail_cap))
+
+    state = jax.lax.while_loop(cond_wide, body, state)
+
+    # ---- compact survivors into the narrow tail wave (alive lanes first)
+    order = jnp.argsort(~state["alive"])[:tail_cap]
+    lane_keys = ("org", "dir", "tmin", "tmax", "alive", "seed", "counter",
+                 "inv_pdf", "contrib", "depth", "eta", "medium", "voldepth",
+                 "nullfl", "pixel")
+    tail = {k: state[k][order] for k in lane_keys}
+    tail["fb"] = state["fb"]
+
+    def tail_body(st):
+        splat, st_next = _bounce_core(scene, tables, st, prim_mask,
+                                      shadow_mask)
+        st_next["fb"] = st["fb"].at[st["pixel"]].add(
+            jnp.where(st["alive"][..., None], splat, 0.0))
+        st_next["pixel"] = st["pixel"]
+        return st_next
+
+    def tail_cond(st):
+        return jnp.any(st["alive"])
+
+    tail = jax.lax.while_loop(tail_cond, tail_body, tail)
+    return tail["fb"]
 
 
 def _gather_mat_type(scene, tables, mat_id):

@@ -67,7 +67,7 @@ def simple_technique_wave(scene, tables, x, y, sample, iteration, frame,
         counter = jnp.full((n,), 1, dtype=jnp.uint32)
 
     t, u, v, prim = _traverse_closest(scene, tables, org, direction, tmin,
-                                      tmax, None)
+                                      tmax, None, mask_bit=jnp.int32(0x1))
     hit = prim >= 0
     prim_s = jnp.maximum(prim, 0)
     surf = _surface_at(tables, prim_s, org, direction, t, u, v)
@@ -189,7 +189,7 @@ def infobuffer_aovs(scene, tables, x, y, sample, iteration, frame, user_seed):
     seed, counter, org, direction, tmin, tmax = _emit_camera(
         scene, x, y, sample, iteration, frame, user_seed, tables)
     t, u, v, prim = _traverse_closest(scene, tables, org, direction, tmin,
-                                      tmax, None)
+                                      tmax, None, mask_bit=jnp.int32(0x1))
     hit = prim >= 0
     surf = _surface_at(tables, jnp.maximum(prim, 0), org, direction, t, u, v)
     colors, _ = material_params(scene, tables, surf)
