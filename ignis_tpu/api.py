@@ -222,17 +222,26 @@ class Runtime:
         Returns (GlareOutput, heatmap HxWx3 float, glare-source mask HxW).
         If settings.avg is 0, the image-average luminance is filled in the
         way igview does (UI.cpp:651 passes imageinfo's avg)."""
+        import dataclasses
+
         from ignis_tpu.render.glare import (GlareSettings, evaluate_glare_host,
                                             srgb_to_xyY)
         if settings is None:
             settings = GlareSettings(**kw)
         img = self.currentFrame()
         if settings.avg <= 0 or settings.max <= 0:
+            # Match evaluate_glare's check_get: non-finite pixels (common in
+            # partial renders) must not poison the reductions.
             y = np.asarray(srgb_to_xyY(jnp.asarray(img * settings.scale)))[..., 2]
+            y = y[np.isfinite(y)]
+            if y.size == 0:
+                y = np.zeros(1, np.float32)
+            repl = {}
             if settings.avg <= 0:
-                settings.avg = float(np.mean(y))
+                repl["avg"] = float(np.mean(y))
             if settings.max <= 0:
-                settings.max = float(np.max(y))
+                repl["max"] = float(np.max(y))
+            settings = dataclasses.replace(settings, **repl)
         return evaluate_glare_host(self.scene.camera, img, settings)
 
     # ------------------------------------------------------------------ trace

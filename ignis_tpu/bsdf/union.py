@@ -522,15 +522,26 @@ def _plastic_sample(colors, scalars, surf, u0, u1, u2, out_dir, rough):
 
 # ------------------------------------------------------------------- union
 
-def _params(tables, surf):
+def _params(tables, surf, lobe="a"):
+    if lobe == "b":
+        if "colors_b" in surf:
+            return surf["colors_b"], surf["scalars_b"]
+        mat_id = surf["mat_id"]
+        return tables["mat_colors_b"][mat_id], tables["mat_scalars_b"][mat_id]
     if "colors" in surf:
         return surf["colors"], surf["scalars"]
     return _mat_gather(tables, surf["mat_id"])
 
 
-def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir):
-    bsdf_types = scene.bsdf_types
-    colors, scalars = _params(tables, surf)
+def _lobe_types(scene, lobe):
+    if lobe == "b":
+        return [t for t in getattr(scene, "bsdf_types_b", []) if t >= 0]
+    return scene.bsdf_types
+
+
+def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir, lobe="a"):
+    bsdf_types = _lobe_types(scene, lobe)
+    colors, scalars = _params(tables, surf, lobe)
     out = jnp.zeros(in_dir.shape, dtype=jnp.float32)
     for t in set(bsdf_types):
         if t == BSDF_DIFFUSE:
@@ -563,6 +574,9 @@ def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir):
                                      info["up"], surf, in_dir, out_dir)
                 v = jnp.where((surf["mat_id"] == mid)[..., None], kv, v)
         elif t == BSDF_DJMEASURED:
+            # NOTE: unlike every other branch, dj_eval/weight exclude the
+            # cos(theta) term, mirroring upstream djmeasured.art (see the
+            # measured/djmeasured.py module docstring for the rationale).
             from ignis_tpu.measured.djmeasured import dj_eval
             v = jnp.zeros(in_dir.shape, jnp.float32)
             for mid, info in scene.djmeasured_info.items():
@@ -575,9 +589,9 @@ def bsdf_eval(scene, tables, mat_type, surf, in_dir, out_dir):
     return out
 
 
-def bsdf_pdf(scene, tables, mat_type, surf, in_dir, out_dir):
-    bsdf_types = scene.bsdf_types
-    colors, scalars = _params(tables, surf)
+def bsdf_pdf(scene, tables, mat_type, surf, in_dir, out_dir, lobe="a"):
+    bsdf_types = _lobe_types(scene, lobe)
+    colors, scalars = _params(tables, surf, lobe)
     out = jnp.zeros(mat_type.shape, dtype=jnp.float32)
     for t in set(bsdf_types):
         if t == BSDF_DIFFUSE:
@@ -622,15 +636,15 @@ def bsdf_pdf(scene, tables, mat_type, surf, in_dir, out_dir):
 
 
 def bsdf_sample(scene, tables, mat_type, surf, seed, counter, out_dir,
-                active=None, adjoint=False):
-    bsdf_types = scene.bsdf_types
+                active=None, adjoint=False, lobe="a"):
     """Sample the union; advances counters by each lane's type draw count.
 
     Returns (in_dir, pdf, weight, eta, valid, new_counter).
     """
+    bsdf_types = _lobe_types(scene, lobe)
     if active is None:
         active = jnp.ones(mat_type.shape, dtype=bool)
-    colors, scalars = _params(tables, surf)
+    colors, scalars = _params(tables, surf, lobe)
 
     # Pre-draw the max number of uniforms from each lane's counter base;
     # lanes advance only by their own type's draw count.

@@ -131,6 +131,15 @@ def load_brdf(path, prefix):
     rgb = np.asarray(f["rgb"], np.float32)          # (nphi, nth, 3, ry, rx)
     jac = bool(np.asarray(f["jacobian"]).ravel()[0])
     isotropic = phi_i.shape[0] <= 2
+    if not isotropic:
+        # powitacq_rgb.inl BRDF ctor: anisotropic phi_i knots must span 2*pi
+        # (reduction == 1), otherwise the phi parameterization is wrong.
+        span = float(phi_i[-1] - phi_i[0])
+        reduction = int(np.rint(2.0 * np.pi / span)) if span > 0 else 0
+        if reduction != 1:
+            raise ValueError(
+                f"anisotropic measured BRDF: phi_i span {span:.4f} does not "
+                "cover 2*pi (reduction != 1); refusing to load")
 
     v_d, v_c, v_m = _build_cdf_warp(vndf)
     l_d, l_c, l_m = _build_cdf_warp(lum)

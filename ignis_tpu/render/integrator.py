@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ignis_tpu.bsdf import bsdf_eval, bsdf_pdf, bsdf_sample, bsdf_specular_mask
-from ignis_tpu.bsdf.union import material_params
+from ignis_tpu.bsdf import (
+    bsdf_eval, bsdf_pdf, bsdf_sample, bsdf_specular_mask, prepare_surface,
+)
 from ignis_tpu.core import rng
 from ignis_tpu.core.vec import (
     FLT_EPS, FLT_MAX, cross, dot, length, normalize, orthonormal_basis,
@@ -217,9 +218,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
     prim_s = jnp.maximum(prim, 0)
     t_safe = jnp.where(hit, t, 1.0)
     surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
-    mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
-    specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
-    surf["colors"], surf["scalars"] = material_params(scene, tables, surf)
+    mat_type, specular = prepare_surface(scene, tables, surf, d)
 
     # ---- medium coefficients of each lane's current medium (volpath)
     if is_vol:

@@ -104,10 +104,8 @@ def render_lighttracer(scene, tables, n_paths, iteration, frame, user_seed):
         prim_s = jnp.maximum(prim, 0)
         t_safe = jnp.where(hit, t, 1.0)
         surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
-        mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
-        specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
-        surf["colors"], surf["scalars"] = material_params(scene, tables,
-                                                          surf)
+        from ignis_tpu.bsdf import prepare_surface
+        mat_type, specular = prepare_surface(scene, tables, surf, d)
         out_dir = -d
 
         # camera connection (on_shadow, lighttracer.art:71-113)

@@ -106,10 +106,8 @@ def trace_photons(scene, tables, n_photons, iteration, frame, user_seed):
         prim_s = jnp.maximum(prim, 0)
         surf = _surface_at(tables, prim_s, org, d, jnp.where(hit, t, 1.0),
                            u, v)
-        mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
-        specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
-        surf["colors"], surf["scalars"] = material_params(scene, tables,
-                                                          surf)
+        from ignis_tpu.bsdf import prepare_surface
+        mat_type, specular = prepare_surface(scene, tables, surf, d)
         emissive = surf["light_id"] >= 0
         out_dir = -d
         cos_o = dot(out_dir, surf["n"])
@@ -261,10 +259,8 @@ def render_ppm(scene, tables, grid, work_x, work_y, work_sample, iteration,
         prim_s = jnp.maximum(prim, 0)
         t_safe = jnp.where(hit, t, 1.0)
         surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
-        mat_type = _gather_mat_type(scene, tables, surf["mat_id"])
-        specular = bsdf_specular_mask(scene.bsdf_types, mat_type)
-        surf["colors"], surf["scalars"] = material_params(scene, tables,
-                                                          surf)
+        from ignis_tpu.bsdf import prepare_surface
+        mat_type, specular = prepare_surface(scene, tables, surf, d)
         out_dir = -d
         splat = jnp.zeros((n, 3), jnp.float32)
 

@@ -412,6 +412,120 @@ def _compile_bsdf(obj: dict, colors: np.ndarray, scalars: np.ndarray,
     return BSDF_DIFFUSE
 
 
+_WRAPPER_TYPES = ("add", "blend", "mix", "mask", "cutoff", "bumpmap",
+                  "normalmap", "transform", "twosided", "doublesided")
+
+
+def _flatten_bsdf(scene, obj: dict, depth: int = 0) -> dict:
+    """Flatten a wrapper-BSDF chain (LoaderBSDF.cpp:82-151) into a material
+    spec of <= 2 leaf lobes plus one normal modifier:
+
+    * mix/blend(first, second, weight)    -> two lobes, mix_kind=1
+    * add(first, second)                  -> two lobes, mix_kind=2
+    * mask(bsdf, weight[, inverted])      -> mix(child, passthrough, weight)
+      (MaskBSDF.cpp:36-55); cutoff adds the threshold select
+    * bumpmap/normalmap/transform(bsdf)   -> leaf + normal modifier
+      (bsdf/map.art make_bumpmap/make_normalmap/make_normal_set)
+    * twosided/doublesided(bsdf)          -> inner bsdf (IgnoreBSDF.cpp)
+
+    Chains that don't fit (mix of mixes, per-lobe modifiers) degrade with a
+    warning: the dominant lobe / outermost modifier wins.
+    """
+    spec = dict(leaf_a=obj, leaf_b=None, mix_kind=0, mix_weight=0.5,
+                mix_weight_tex=None, mix_cutoff=None, nmod_kind=0,
+                nmod_strength=1.0, nmod_normal=np.float32([0, 0, 1]),
+                nmod_tangent=None, nmod_tex=None)
+    btype = obj.get("type", "diffuse")
+    if btype not in _WRAPPER_TYPES or depth > 8:
+        return spec
+
+    import warnings
+
+    def child(name):
+        ref = obj.get(name, "")
+        cobj = scene.bsdfs.get(ref)
+        if cobj is None:
+            # ErrorBSDF semantics: signal-pink diffuse
+            return {"type": "diffuse", "reflectance": [1, 0, 1]}
+        return cobj
+
+    def leaf_of(sub):
+        """Collapse a sub-spec to one leaf, warning when lossy."""
+        s = _flatten_bsdf(scene, sub, depth + 1)
+        if s["leaf_b"] is not None:
+            warnings.warn("nested two-lobe BSDF flattened to its dominant "
+                          "lobe (unsupported nesting depth)")
+            return s["leaf_a"] if s["mix_weight"] < 0.5 else s["leaf_b"]
+        if s["nmod_kind"]:
+            warnings.warn("normal modifier below a blend wrapper is ignored")
+        return s["leaf_a"]
+
+    if btype in ("twosided", "doublesided"):
+        return _flatten_bsdf(scene, child("bsdf"), depth + 1)
+
+    if btype in ("mix", "blend", "add"):
+        spec["leaf_a"] = leaf_of(child("first"))
+        spec["leaf_b"] = leaf_of(child("second"))
+        if btype == "add":
+            spec["mix_kind"] = 2
+        else:
+            spec["mix_kind"] = 1
+            wv, wtex = _number(obj.get("weight"), 0.5)
+            spec["mix_weight"] = wv
+            if isinstance(wtex, str):
+                spec["mix_weight_tex"] = wtex
+        return spec
+
+    if btype in ("mask", "cutoff"):
+        inner = leaf_of(child("bsdf"))
+        passthrough = {"type": "passthrough"}
+        wv, wtex = _number(obj.get("weight"), 0.5)
+        inverted = bool(obj.get("inverted", False))
+        # mix(child, passthrough, weight) — inverted swaps the lobes
+        spec["leaf_a"], spec["leaf_b"] = ((passthrough, inner) if inverted
+                                          else (inner, passthrough))
+        spec["mix_kind"] = 1
+        spec["mix_weight"] = wv
+        if isinstance(wtex, str):
+            spec["mix_weight_tex"] = wtex
+        if btype == "cutoff":
+            cv, _ = _number(obj.get("cutoff"), 0.5)
+            spec["mix_cutoff"] = cv
+        return spec
+
+    # normal modifiers wrap a single child chain
+    sub = _flatten_bsdf(scene, child("bsdf"), depth + 1)
+    spec.update({k: sub[k] for k in ("leaf_a", "leaf_b", "mix_kind",
+                                     "mix_weight", "mix_weight_tex",
+                                     "mix_cutoff")})
+    if sub["nmod_kind"]:
+        import warnings as _w
+        _w.warn("stacked normal modifiers: outermost wins")
+    sv, _ = _number(obj.get("strength"), 1.0)
+    spec["nmod_strength"] = sv
+    if btype == "normalmap":
+        spec["nmod_kind"] = 1
+        cv, ctex = _color(obj.get("map"), (0.5, 0.5, 1.0))
+        spec["nmod_normal"] = cv
+        if isinstance(ctex, str):
+            spec["nmod_tex"] = ctex
+    elif btype == "bumpmap":
+        spec["nmod_kind"] = 2
+        _, mtex = _number(obj.get("map"), 0.0)
+        if isinstance(mtex, str):
+            spec["nmod_tex"] = mtex
+        elif isinstance(obj.get("map"), str):
+            spec["nmod_tex"] = obj["map"]
+    else:  # transform
+        spec["nmod_kind"] = 3
+        nv, _ = _color(obj.get("normal"), (0, 0, 1))
+        spec["nmod_normal"] = nv
+        if "tangent" in obj:
+            tv, _ = _color(obj.get("tangent"), (1, 0, 0))
+            spec["nmod_tangent"] = tv
+    return spec
+
+
 def compile_scene(scene: Scene, width: int | None = None, height: int | None = None) -> CompiledScene:
     film_size = scene.film.get("size", [800, 600])
     w = int(width or film_size[0])
@@ -444,22 +558,76 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     textures, img_tables = compile_textures(scene)
     tex_index = {t["name"]: i for i, t in enumerate(textures)}
 
-    def tex_of(name):
-        return tex_index.get(name, -1)
+    from ignis_tpu.texture.loader import TEX_EXPR
 
-    # ---- materials (BSDFs)
+    def tex_of(name):
+        """Texture id for a name; non-name strings become implicit PExpr
+        textures (the ShadingTree transpiles such strings via PExpr —
+        loader/ShadingTree.cpp addColor/addNumber string path)."""
+        if name in tex_index:
+            return tex_index[name]
+        key = "__expr:" + name
+        if key not in tex_index:
+            tex_index[key] = len(textures)
+            textures.append(dict(type=TEX_EXPR, name=key, expr=name, obj={}))
+        return tex_index[key]
+
+    # ---- materials (BSDFs): wrapper chains (mix/add/mask/cutoff/bumpmap/
+    # normalmap/transform/twosided — LoaderBSDF.cpp:82-151) are flattened at
+    # compile time into <= 2 leaf lobes + one normal modifier per material.
     bsdf_names = list(scene.bsdfs_order)
     bsdf_index = {n: i for i, n in enumerate(bsdf_names)}
     nmat = max(1, len(bsdf_names))
     mat_colors = np.zeros((nmat, 4, 3), dtype=np.float32)
     mat_scalars = np.zeros((nmat, 16), dtype=np.float32)
     mat_tex = np.full((nmat, 4), -1, dtype=np.int32)
+    mat_colors_b = np.zeros((nmat, 4, 3), dtype=np.float32)
+    mat_scalars_b = np.zeros((nmat, 16), dtype=np.float32)
+    mat_tex_b = np.full((nmat, 4), -1, dtype=np.int32)
+    # [weight, cutoff(-1 = plain mix), pad, pad]
+    mat_wrap_f = np.zeros((nmat, 4), dtype=np.float32)
+    mat_wrap_f[:, 1] = -1.0
+    mat_wrap_tex = np.full((nmat,), -1, dtype=np.int32)
+    # [strength, normal.xyz, tangent.xyz, has_tangent]
+    mat_nmod_f = np.zeros((nmat, 8), dtype=np.float32)
+    mat_nmod_tex = np.full((nmat,), -1, dtype=np.int32)
     bsdf_types = []
+    bsdf_types_b = []    # -1 = single-lobe material
+    mix_kinds = []       # 0 = single, 1 = mix, 2 = add
+    nmod_kinds = []      # 0 = none, 1 = normalmap, 2 = bumpmap, 3 = normal-set
+    flat_leaves_a = []
     for i, nname in enumerate(bsdf_names):
-        bsdf_types.append(_compile_bsdf(scene.bsdfs[nname], mat_colors[i],
+        spec = _flatten_bsdf(scene, scene.bsdfs[nname])
+        flat_leaves_a.append(spec["leaf_a"])
+        bsdf_types.append(_compile_bsdf(spec["leaf_a"], mat_colors[i],
                                         mat_scalars[i], mat_tex[i], tex_of))
+        if spec["leaf_b"] is not None:
+            bsdf_types_b.append(_compile_bsdf(
+                spec["leaf_b"], mat_colors_b[i], mat_scalars_b[i],
+                mat_tex_b[i], tex_of))
+            mix_kinds.append(spec["mix_kind"])
+            mat_wrap_f[i, 0] = spec["mix_weight"]
+            if spec["mix_cutoff"] is not None:
+                mat_wrap_f[i, 1] = spec["mix_cutoff"]
+            if spec["mix_weight_tex"] is not None:
+                mat_wrap_tex[i] = tex_of(spec["mix_weight_tex"])
+        else:
+            bsdf_types_b.append(-1)
+            mix_kinds.append(0)
+        nmod_kinds.append(spec["nmod_kind"])
+        if spec["nmod_kind"]:
+            mat_nmod_f[i, 0] = spec["nmod_strength"]
+            mat_nmod_f[i, 1:4] = spec["nmod_normal"]
+            if spec["nmod_tangent"] is not None:
+                mat_nmod_f[i, 4:7] = spec["nmod_tangent"]
+                mat_nmod_f[i, 7] = 1.0
+            if spec["nmod_tex"] is not None:
+                mat_nmod_tex[i] = tex_of(spec["nmod_tex"])
     if not bsdf_names:
         bsdf_types.append(BSDF_DIFFUSE)
+        bsdf_types_b.append(-1)
+        mix_kinds.append(0)
+        nmod_kinds.append(0)
         mat_colors[0, 0] = 0.5
 
     # measured materials: per-material device tables + static info
@@ -468,8 +636,15 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     dj_info = {}
     klems_tables_all = {}
     for i, nname in enumerate(bsdf_names):
+        if -1 != bsdf_types_b[i] and bsdf_types_b[i] in (
+                BSDF_KLEMS, BSDF_TENSORTREE, BSDF_DJMEASURED):
+            import warnings
+            warnings.warn("measured BSDF as second blend lobe is "
+                          "unsupported; degrading to diffuse")
+            bsdf_types_b[i] = BSDF_DIFFUSE
+            mat_colors_b[i, 0] = np.float32([1, 0, 1])
         if bsdf_types[i] == BSDF_DJMEASURED:
-            obj = scene.bsdfs[nname]
+            obj = flat_leaves_a[i]
             from ignis_tpu.measured.djmeasured import load_brdf
             try:
                 tbl, info = load_brdf(scene.resolve_path(obj["filename"]),
@@ -485,7 +660,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             klems_tables_all.update(tbl)
             continue
         if bsdf_types[i] == BSDF_TENSORTREE:
-            obj = scene.bsdfs[nname]
+            obj = flat_leaves_a[i]
             from ignis_tpu.measured.tensortree import (
                 load_tensortree_xml, tensortree_tables)
             try:
@@ -505,7 +680,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             continue
         if bsdf_types[i] != BSDF_KLEMS:
             continue
-        obj = scene.bsdfs[nname]
+        obj = flat_leaves_a[i]
         from ignis_tpu.measured.klems import klems_tables, load_klems_xml
         try:
             comps = load_klems_xml(scene.resolve_path(obj["filename"]))
@@ -1040,6 +1215,12 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         "ent_tri_offset": ent_tri_offset, "ent_tri_count": ent_tri_count,
         "mat_colors": mat_colors, "mat_scalars": mat_scalars,
         "mat_tex": mat_tex,
+        "mat_colors_b": mat_colors_b, "mat_scalars_b": mat_scalars_b,
+        "mat_tex_b": mat_tex_b,
+        "mat_wrap_f": mat_wrap_f, "mat_wrap_tex": mat_wrap_tex,
+        "mat_nmod_f": mat_nmod_f, "mat_nmod_tex": mat_nmod_tex,
+        "mat_mix_kind": np.asarray(mix_kinds, np.int32),
+        "mat_nmod_kind": np.asarray(nmod_kinds, np.int32),
         "light_data": light_data,
         **img_tables,
         "light_type": light_type_arr, "light_infinite": light_inf_arr,
@@ -1057,6 +1238,9 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         tables=tables, bbox_min=bbox_min, bbox_max=bbox_max,
         entity_names=ent_names, material_names=bsdf_names,
         textures=textures, media=media)
+    cs.bsdf_types_b = bsdf_types_b
+    cs.mix_kinds = mix_kinds
+    cs.nmod_kinds = nmod_kinds
     cs.halton_setup = halton_setup
     cs.klems_info = klems_info
     cs.tensortree_info = tt_info
