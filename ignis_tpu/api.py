@@ -66,13 +66,16 @@ class Runtime:
                 # threshold the fused brute-force sweep is faster (packet
                 # divergence on incoherent bounce waves costs more than the
                 # full soup test — measured on diamond_scene).
-                from ignis_tpu.ops.pallas_bvh import build_packet_bvh
+                from ignis_tpu.ops.pallas_bvh import (build_packet_bvh,
+                                                      packet_tables_fit)
                 ent_flags = np.asarray(tables["ent_flags"])
                 tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
-                tables = dict(tables)
-                tables.update(build_packet_bvh(
+                pb = build_packet_bvh(
                     bvh, tables["tri_v0"], tables["tri_e1"],
-                    tables["tri_e2"], tri_flags))
+                    tables["tri_e2"], tri_flags)
+                if packet_tables_fit(pb):
+                    tables = dict(tables)
+                    tables.update(pb)
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.seed = int(seed)
         self.iteration = 0

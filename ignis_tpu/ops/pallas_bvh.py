@@ -11,18 +11,26 @@ node visits (the packet traverses the union of its rays' paths) but every
 visit is a handful of vector instructions — the classic packet-tracing
 trade, which coherent camera/shadow waves win decisively.
 
-Host-side layout (built in `build_packet_bvh` from the binary SAH BVH of
-ops/bvh.py, mirroring the reference's node collapse in bvh/NArityBvh.h):
+The tree is EIGHT-wide (the reference collapses its binary SAH tree to
+N-wide nodes the same way, src/runtime/shape/TriMeshProvider.cpp:556-560 /
+bvh/NArityBvh.h): one node visit tests 8 child boxes, one leaf visit tests
+8 triangles.  Both tables are laid out as dense (rows, 128) f32 so VMEM
+tiling wastes nothing (TPU tiles are (8, 128); an (N, 16) array would pad
+its minor dim to 128 and burn 8x the capacity — measured: 47 MB scoped VMEM
+for 11 MB of data).
 
-* nodes_f (M, 16) f32 — per inner node, both children's slabs:
-  [lmin.xyz, lmax.xyz, rmin.xyz, rmax.xyz, pad x4]
-* nodes_i (M, 8) i32 — [l_enc, r_enc, pad...]; enc >= 0 = inner-node id,
-  enc < 0 = ~leaf_row, EMPTY = INT32_MIN = missing child
-* leaves (NL, 64) f32 — 4 triangle records of 16:
+Host-side layout (built in `build_packet_bvh` from the binary SAH BVH of
+ops/bvh.py):
+
+* nodes (M, 128) f32 — child c in [0,8): box slab at lanes [6c, 6c+6)
+  as [min.xyz, max.xyz]; child encoding at lane 64+c as an exact-integer
+  float: enc >= 0 = inner row id, enc in [-2^24, -1] = -(leaf_row+1),
+  enc <= MISSING_F = no child.
+* leaves (NL, 128) f32 — 8 triangle records of 16 lanes:
   [v0.xyz, e1.xyz, e2.xyz, maskbits, orig_idx, pad x5]; degenerate fill has
   maskbits = 0.  maskbits packs per-ray-class visibility (bit0 camera,
-  bit1 bounce, bit2 shadow) from ent_flags so the kernel needs no per-lane
-  gathers (LoaderEntity.cpp:123-131 semantics).
+  bit1 light, bit2 bounce, bit3 shadow) from ent_flags so the kernel needs
+  no per-lane gathers (LoaderEntity.cpp:123-131 semantics).
 
 Intersection predicate matches ops/intersect.py `_mt_block`
 (traversal/intersection.art:70-101, standard-edge sign convention).
@@ -41,9 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 8
 PACKET = LANES * SUBLANES     # rays per packet / grid step
-LEAF_TRIS = 4
-STACK_DEPTH = 96
-EMPTY = np.int32(-2147483648)
+WIDTH = 8                     # children per node / triangles per leaf row
+STACK_DEPTH = 128
+MISSING_F = np.float32(-1e9)  # child-slot sentinel in the enc lane
+# scoped-VMEM budget requested from Mosaic for the traversal kernel; the
+# node+leaf tables must fit here together with the double-buffered ray
+# windows (v5e has 128 MB of VMEM total).
+VMEM_LIMIT = 100 * 1024 * 1024
 
 # ray-class bits for the packed per-triangle visibility mask — identical to
 # the reference's ray flags (LoaderEntity.cpp:123-131) so a ray's flag value
@@ -53,17 +65,29 @@ MASK_LIGHT = 0x2
 MASK_BOUNCE = 0x4
 MASK_SHADOW = 0x8
 
+# Batcher odd-even merge sort network for 8 elements (19 comparators)
+_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+          (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+          (1, 2), (3, 4), (5, 6)]
+
 
 # --------------------------------------------------------------------- build
 def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
-    """Convert a binary `ops.bvh.BVH` into the packet kernel's tables.
+    """Collapse a binary `ops.bvh.BVH` into 8-wide packet-kernel tables.
+
+    Children of an 8-wide node are gathered by repeatedly expanding the
+    largest-subtree inner child; subtrees of <= 8 triangles collapse into a
+    single 8-triangle leaf row (their tri_order range is contiguous by
+    construction of the recursive SAH partition).
 
     ent_flags_per_tri: (T,) uint8 of reference visibility flags
     (camera=0x1, light=0x2, bounce=0x4, shadow=0x8) per ORIGINAL triangle.
-    Returns dict of numpy arrays (pb_nodes_f, pb_nodes_i, pb_leaves).
+    Returns dict of numpy arrays (pb_nodes, pb_leaves).
     """
-    order = bvh.tri_order
+    order = np.asarray(bvh.tri_order)
     t = order.shape[0]
+    if t >= (1 << 24):
+        raise ValueError("packet BVH supports < 2^24 triangles per soup")
     v0 = np.asarray(tri_v0, np.float32)
     e1 = np.asarray(tri_e1, np.float32)
     e2 = np.asarray(tri_e2, np.float32)
@@ -74,65 +98,94 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
     nl, nr, nc = bvh.node_left, bvh.node_right, bvh.node_count
     m = nm.shape[0]
 
-    leaves = []          # each: (start, count) into `order`
-    inner_ids = {}       # binary node idx -> packed inner row
-    nodes_f, nodes_i = [], []
+    # subtree triangle counts + contiguous start offsets into tri_order
+    size = np.zeros(m, np.int64)
+    start = np.zeros(m, np.int64)
+    st = [(0, False)] if m else []
+    while st:
+        b, done = st.pop()
+        if nc[b] > 0:
+            size[b] = nc[b]
+            start[b] = nl[b]
+        elif done:
+            size[b] = size[nl[b]] + size[nr[b]]
+            start[b] = min(start[nl[b]], start[nr[b]])
+        else:
+            st.append((b, True))
+            st.append((int(nl[b]), False))
+            st.append((int(nr[b]), False))
 
-    def leaf_row(bidx):
-        leaves.append((int(nl[bidx]), int(nc[bidx])))
-        return np.int32(~(len(leaves) - 1))
+    rows = []      # per 8-wide node: list of (bmin, bmax, enc_float)
+    leaves = []    # per leaf row: array of <= 8 original tri indices
 
-    # BFS over inner nodes
-    is_inner = nc == 0
-    if not is_inner.any() or t == 0:
-        # whole tree is one leaf: synthesize a root inner node
-        nodes_f.append(np.concatenate([nm[0], nx[0], nm[0], nx[0],
-                                       np.zeros(4, np.float32)]))
-        enc_l = leaf_row(0) if t else EMPTY
-        nodes_i.append(np.array([enc_l, EMPTY, 0, 0, 0, 0, 0, 0], np.int32))
+    def make_leaf(b):
+        lo, n = int(start[b]), int(size[b])
+        leaves.append(order[lo:lo + n])
+        return np.float32(-len(leaves))     # -(leaf_row + 1)
+
+    if t == 0 or m == 0:
+        rows.append([])
+    elif nc[0] > 0 or size[0] <= WIDTH:
+        # whole tree is one leaf row: synthesize a root
+        rows.append([(nm[0], nx[0], make_leaf(0))])
     else:
-        queue = [0]
-        inner_ids[0] = 0
-        nodes_f.append(None)
-        nodes_i.append(None)
-        while queue:
-            b = queue.pop()
-            row = inner_ids[b]
-            l, r = int(nl[b]), int(nr[b])
-            encs = []
-            for c in (l, r):
-                if nc[c] == 0:
-                    inner_ids[c] = len(nodes_f)
-                    nodes_f.append(None)
-                    nodes_i.append(None)
-                    queue.append(c)
-                    encs.append(np.int32(inner_ids[c]))
+        row_of = {0: 0}
+        rows.append(None)
+        work = [0]
+        while work:
+            b = work.pop()
+            kids = [int(nl[b]), int(nr[b])]
+            while len(kids) < WIDTH:
+                cand = [k for k in kids if nc[k] == 0 and size[k] > WIDTH]
+                if not cand:
+                    break
+                big = max(cand, key=lambda k: size[k])
+                kids.remove(big)
+                kids += [int(nl[big]), int(nr[big])]
+            entries = []
+            for k in kids:
+                if nc[k] > 0 or size[k] <= WIDTH:
+                    entries.append((nm[k], nx[k], make_leaf(k)))
                 else:
-                    encs.append(leaf_row(c))
-            nodes_f[row] = np.concatenate([nm[l], nx[l], nm[r], nx[r],
-                                           np.zeros(4, np.float32)])
-            nodes_i[row] = np.array([encs[0], encs[1], 0, 0, 0, 0, 0, 0],
-                                    np.int32)
+                    row_of[k] = len(rows)
+                    rows.append(None)
+                    work.append(k)
+                    entries.append((nm[k], nx[k], np.float32(row_of[k])))
+            rows[row_of[b]] = entries
 
-    nodes_f = np.stack(nodes_f).astype(np.float32)
-    nodes_i = np.stack(nodes_i).astype(np.int32)
+    node_tab = np.zeros((len(rows), LANES), np.float32)
+    node_tab[:, 64:64 + WIDTH] = MISSING_F
+    for ri, entries in enumerate(rows):
+        for c, (bmin, bmax, enc) in enumerate(entries):
+            node_tab[ri, 6 * c:6 * c + 3] = bmin
+            node_tab[ri, 6 * c + 3:6 * c + 6] = bmax
+            node_tab[ri, 64 + c] = enc
 
     nlv = max(1, len(leaves))
-    leaf_tab = np.zeros((nlv, LEAF_TRIS * 16), np.float32)
-    for li, (start, count) in enumerate(leaves):
-        for k in range(min(count, LEAF_TRIS)):
-            oi = int(order[start + k])
-            rec = np.zeros(16, np.float32)
-            rec[0:3] = v0[oi]
-            rec[3:6] = e1[oi]
-            rec[6:9] = e2[oi]
-            rec[9] = maskbits[oi] if maskbits.size else 7.0
-            rec[10] = np.float32(oi)       # exact for oi < 2^24
-            leaf_tab[li, k * 16:(k + 1) * 16] = rec
-    if t >= (1 << 24):
-        raise ValueError("packet BVH supports < 2^24 triangles per soup")
-    return {"pb_nodes_f": nodes_f, "pb_nodes_i": nodes_i,
-            "pb_leaves": leaf_tab}
+    leaf_tab = np.zeros((nlv, LANES), np.float32)
+    for li, tris in enumerate(leaves):
+        for k, oi in enumerate(tris[:WIDTH]):
+            oi = int(oi)
+            o = 16 * k
+            leaf_tab[li, o:o + 3] = v0[oi]
+            leaf_tab[li, o + 3:o + 6] = e1[oi]
+            leaf_tab[li, o + 6:o + 9] = e2[oi]
+            leaf_tab[li, o + 9] = maskbits[oi] if maskbits.size else 7.0
+            leaf_tab[li, o + 10] = np.float32(oi)   # exact for oi < 2^24
+    bounds = np.zeros(8, np.float32)
+    if m:
+        bounds[0:3] = nm[0]
+        bounds[3:6] = nx[0]
+    else:
+        bounds[3:6] = 1.0
+    return {"pb_nodes": node_tab, "pb_leaves": leaf_tab,
+            "pb_bounds": bounds}
+
+
+def packet_tables_fit(tables) -> bool:
+    """True when the node+leaf tables fit the kernel's scoped-VMEM budget."""
+    b = tables["pb_nodes"].size * 4 + tables["pb_leaves"].size * 4
+    return b <= VMEM_LIMIT - (8 << 20)   # headroom for ray windows
 
 
 # -------------------------------------------------------------------- kernel
@@ -154,10 +207,10 @@ def _slab_pk(ox, oy, oz, ix, iy, iz, tmn, lim, bmin, bmax):
 
 
 def _leaf_test(row, mask_bit, ox, oy, oz, dx, dy, dz, tmn, best):
-    """Intersect the packet against a (1, 64) leaf row (4 triangles)."""
+    """Intersect the packet against a (1, 128) leaf row (8 triangles)."""
     tol = jnp.float32(-1.1920928955078125e-07)
     bt, bu, bv, bi = best
-    for k in range(LEAF_TRIS):
+    for k in range(WIDTH):
         o = k * 16
         v0x, v0y, v0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
         e1x, e1y, e1z = row[0, o + 3], row[0, o + 4], row[0, o + 5]
@@ -191,7 +244,7 @@ def _leaf_test(row, mask_bit, ox, oy, oz, dx, dy, dz, tmn, best):
     return bt, bu, bv, bi
 
 
-def _traverse_kernel(mask_ref, nodes_f, nodes_i, leaves, ox, oy, oz, dx, dy,
+def _traverse_kernel(mask_ref, nodes, leaves, ox, oy, oz, dx, dy,
                      dz, tmin, tmax, out_t, out_u, out_v, out_i, stack,
                      *, any_hit):
     mask_bit = mask_ref[0]
@@ -218,41 +271,32 @@ def _traverse_kernel(mask_ref, nodes_f, nodes_i, leaves, ox, oy, oz, dx, dy,
         lim = bt  # per-ray search window shrinks with best hit
 
         def inner_case(args):
+            # NOTE: children are pushed in build order, not near-ordered.  A
+            # 19-comparator packet-vote ordering network was measured SLOWER
+            # on both coherent (-7%) and incoherent (-29%) waves: the ~57
+            # scalar selects per visit cost more than the early-termination
+            # culling saves (the builder already emits children in SAH
+            # partition order, which is spatially sorted).
             sp, bt, bu, bv, bi = args
-            ni = enc
-            fr = nodes_f[pl.ds(ni, 1), :]        # (1, 16)
-            ir = nodes_i[ni, 0], nodes_i[ni, 1]
-            lmin = (fr[0, 0], fr[0, 1], fr[0, 2])
-            lmax = (fr[0, 3], fr[0, 4], fr[0, 5])
-            rmin = (fr[0, 6], fr[0, 7], fr[0, 8])
-            rmax = (fr[0, 9], fr[0, 10], fr[0, 11])
-            lnear, lhit = _slab_pk(*o, ix, iy, iz, tmn, lim, lmin, lmax)
-            rnear, rhit = _slab_pk(*o, ix, iy, iz, tmn, lim, rmin, rmax)
-            if any_hit:
-                act = bi < 0
-                lhit = lhit & act
-                rhit = rhit & act
-            l_any = jnp.any(lhit) & (ir[0] != EMPTY)
-            r_any = jnp.any(rhit) & (ir[1] != EMPTY)
-            # near-ordering by packet vote: push far child first
-            vote = jnp.sum(jnp.where(
-                lhit & rhit, jnp.where(lnear <= rnear, 1, -1), 0))
-            left_first = vote >= 0
-            fst = jnp.where(left_first, ir[0], ir[1])
-            sec = jnp.where(left_first, ir[1], ir[0])
-            fst_p = jnp.where(left_first, l_any, r_any)
-            sec_p = jnp.where(left_first, r_any, l_any)
-            pos2 = jnp.where(sec_p, sp, STACK_DEPTH)
-            stack[pos2] = sec
-            sp = sp + sec_p.astype(jnp.int32)
-            pos1 = jnp.where(fst_p, sp, STACK_DEPTH)
-            stack[pos1] = fst
-            sp = sp + fst_p.astype(jnp.int32)
+            fr = nodes[pl.ds(enc, 1), :]         # (1, 128)
+            act = (bi < 0) if any_hit else None
+            for c in range(WIDTH):
+                b = 6 * c
+                bmin = (fr[0, b], fr[0, b + 1], fr[0, b + 2])
+                bmax = (fr[0, b + 3], fr[0, b + 4], fr[0, b + 5])
+                _, hit = _slab_pk(*o, ix, iy, iz, tmn, lim, bmin, bmax)
+                if any_hit:
+                    hit = hit & act
+                ev = fr[0, 64 + c]
+                push = jnp.any(hit) & (ev > (MISSING_F * 0.5))
+                pos = jnp.where(push, sp, STACK_DEPTH)
+                stack[pos] = ev.astype(jnp.int32)
+                sp = sp + push.astype(jnp.int32)
             return sp, bt, bu, bv, bi
 
         def leaf_case(args):
             sp, bt, bu, bv, bi = args
-            row = leaves[pl.ds(~enc, 1), :]      # (1, 64)
+            row = leaves[pl.ds(~enc, 1), :]      # (1, 128)
             bt, bu, bv, bi = _leaf_test(row, mask_bit, *o, *d, tmn,
                                         (bt, bu, bv, bi))
             return sp, bt, bu, bv, bi
@@ -267,6 +311,40 @@ def _traverse_kernel(mask_ref, nodes_f, nodes_i, leaves, ox, oy, oz, dx, dy,
     out_u[:] = bu
     out_v[:] = bv
     out_i[:] = bi
+
+
+# ---------------------------------------------------------------- ray sort
+def _part1by2(x):
+    """Spread 10 bits of x over 30 (standard 32-bit 3D morton expansion)."""
+    x = x & jnp.uint32(0x3FF)
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def _sort_perm(tables, org, d, tmin, tmax):
+    """Coherence permutation: direction octant (major) then 29-bit origin
+    morton.  Bounce/shadow waves are direction- and origin-incoherent; the
+    shared-stack packet traverses the UNION of its rays' node paths, so
+    clustering rays cuts visits multiplicatively (mapping_cpu.art sorts by
+    octant for the same reason).  Dead lanes (tmax <= tmin) key to the max
+    so whole packets of terminated rays cost one visit."""
+    bmin = tables["pb_bounds"][0:3]
+    ext = jnp.maximum(tables["pb_bounds"][3:6] - bmin, 1e-6)
+    q = jnp.clip((org - bmin) / ext * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+    morton = (_part1by2(q[:, 0]) | (_part1by2(q[:, 1]) << 1)
+              | (_part1by2(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(jnp.uint32)
+              + 2 * (d[:, 1] < 0).astype(jnp.uint32)
+              + 4 * (d[:, 2] < 0).astype(jnp.uint32))
+    key = (octant << 29) | (morton >> 1)
+    key = jnp.where(tmax <= tmin, jnp.uint32(0xFFFFFFFF), key)
+    n = org.shape[0]
+    _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
+    return perm, inv
 
 
 # ------------------------------------------------------------------- wrapper
@@ -299,6 +377,13 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     # keeps reverse AD from requiring a pallas_call transpose.
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     n = org.shape[0]
+    tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
+    tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
+    sort = n >= 2 * PACKET
+    if sort:
+        perm, inv = _sort_perm(tables, org, d, tmin, tmax)
+        org, d = org[perm], d[perm]
+        tmin, tmax = tmin[perm], tmax[perm]
     rays, rows = _prep(org, d, tmin, tmax, n)
     grid = rows // SUBLANES
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
@@ -312,15 +397,18 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     out = pl.pallas_call(
         functools.partial(_traverse_kernel, any_hit=any_hit),
         grid=(grid,),
-        in_specs=[smem1, full, full, full] + [ray_spec] * 8,
+        in_specs=[smem1, full, full] + [ray_spec] * 8,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
         out_shape=(shape, shape, shape, ishape),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH + 1,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(mask_arr, tables["pb_nodes_f"], tables["pb_nodes_i"],
-      tables["pb_leaves"], *rays)
+    )(mask_arr, tables["pb_nodes"], tables["pb_leaves"], *rays)
     flat = lambda a: a.reshape(-1)[:n]
-    return tuple(flat(a) for a in out)
+    out = tuple(flat(a) for a in out)
+    if sort:
+        out = tuple(a[inv] for a in out)
+    return out
 
 
 def packet_bvh_closest(tables, org, d, tmin, tmax, mask_bit=MASK_BOUNCE,

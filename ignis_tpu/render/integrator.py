@@ -81,7 +81,7 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
     `mask_bit` the equivalent ray-class bit (MASK_CAMERA/BOUNCE/SHADOW) for
     the packet kernel, whose leaves carry packed visibility bits.
     """
-    if _use_pallas(org) and "pb_nodes_f" in tables:
+    if _use_pallas(org) and "pb_nodes" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, packet_bvh_closest
         return packet_bvh_closest(tables, org, d, tmin, tmax,
                                   mask_bit=(MASK_BOUNCE if mask_bit is None
@@ -101,7 +101,7 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
 
 def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
                   mask_bit=None):
-    if _use_pallas(org) and "pb_nodes_f" in tables:
+    if _use_pallas(org) and "pb_nodes" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_SHADOW, packet_bvh_any
         return packet_bvh_any(tables, org, d, tmin, tmax,
                               mask_bit=(MASK_SHADOW if mask_bit is None
