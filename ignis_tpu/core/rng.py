@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_FNV_INIT = jnp.uint32(0x811C9DC5)
-_FNV_PRIME = jnp.uint32(16777619)
+_FNV_INIT = np.uint32(0x811C9DC5)
+_FNV_PRIME = np.uint32(16777619)
 
 
 def _u32(x):

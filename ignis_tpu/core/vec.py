@@ -9,12 +9,13 @@ ops on TPU.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-FLT_EPS = jnp.float32(1.1920928955078125e-07)  # 2^-23, matches flt_eps
-FLT_MAX = jnp.float32(3.4028234663852886e38)
-FLT_INF = jnp.float32(jnp.inf)
-PI = jnp.float32(3.14159265358979323846)
-INV_PI = jnp.float32(1.0 / 3.14159265358979323846)
+FLT_EPS = np.float32(1.1920928955078125e-07)  # 2^-23, matches flt_eps
+FLT_MAX = np.float32(3.4028234663852886e38)
+FLT_INF = np.float32(np.inf)
+PI = np.float32(3.14159265358979323846)
+INV_PI = np.float32(1.0 / 3.14159265358979323846)
 
 
 def vec3(x, y, z):

@@ -21,7 +21,7 @@ from ignis_tpu.core import rng
 from ignis_tpu.core.vec import FLT_EPS, absolute_cos, length, safe_div, vec3
 from ignis_tpu.core.warp import sample_uniform_sphere, uniform_sphere_pdf
 
-_EPS = jnp.float32(1e-3)
+_EPS = np.float32(1e-3)
 
 
 def medium_coefficients(scene, tables, medium_id, ctx):

@@ -43,7 +43,7 @@ from ignis_tpu.light.union import select_light
 from ignis_tpu.ops.intersect import intersect_any, intersect_closest
 from ignis_tpu.render.camera import generate_rays, pixel_coord_from_xy
 
-OFFSET = jnp.float32(0.001)  # ray offset (pathtracer.art:41)
+OFFSET = np.float32(0.001)  # ray offset (pathtracer.art:41)
 
 RAY_CAMERA = 0x1
 RAY_LIGHT = 0x2
