@@ -211,6 +211,11 @@ def bsdf_sample(scene, tables, mat_type, surf, seed, counter, out_dir,
     k = surf["mix_k"]
     is_mix = (kind == 1) & active
 
+    # NOTE deviation from mix.art:58-65: when the chosen lobe's sample is
+    # invalid the reference retries with the OTHER lobe; we kill the lane
+    # instead.  A masked fallback would double the per-mix sample cost for
+    # a case that is rare outside grazing-angle rejects; the resulting
+    # energy deficit is bounded by the rejected-sample probability.
     # lobe pick draw, mix lanes only (mix.art:55)
     u_pick, c_pick = rng.next_f32(seed, counter)
     c0 = jnp.where(is_mix, c_pick, counter)

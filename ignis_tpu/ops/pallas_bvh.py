@@ -117,6 +117,7 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
 
     rows = []      # per 8-wide node: list of (bmin, bmax, enc_float)
     leaves = []    # per leaf row: array of <= 8 original tri indices
+    depth_of = {0: 1}   # 8-wide row depth (root = 1); single-row trees stay 1
 
     def make_leaf(b):
         lo, n = int(start[b]), int(size[b])
@@ -148,6 +149,7 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
                     entries.append((nm[k], nx[k], make_leaf(k)))
                 else:
                     row_of[k] = len(rows)
+                    depth_of[k] = depth_of[b] + 1
                     rows.append(None)
                     work.append(k)
                     entries.append((nm[k], nx[k], np.float32(row_of[k])))
@@ -178,13 +180,20 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
         bounds[3:6] = nx[0]
     else:
         bounds[3:6] = 1.0
+    # worst-case traversal stack need: every inner visit pops 1 and pushes
+    # up to WIDTH children (net +7), so a root-to-leaf chain of depth D can
+    # occupy 7*D + 1 slots.  Recorded so packet_tables_fit can refuse tables
+    # a degenerate SAH tree could overflow (kernel clamps as backstop).
     return {"pb_nodes": node_tab, "pb_leaves": leaf_tab,
-            "pb_bounds": bounds}
+            "pb_bounds": bounds, "pb_depth": np.int32(max(depth_of.values()))}
 
 
 def packet_tables_fit(tables) -> bool:
-    """True when the node+leaf tables fit the kernel's scoped-VMEM budget."""
+    """True when the node+leaf tables fit the kernel's scoped-VMEM budget
+    and the worst-case traversal stack (7*depth + 1) fits STACK_DEPTH."""
     b = tables["pb_nodes"].size * 4 + tables["pb_leaves"].size * 4
+    if 7 * int(tables.get("pb_depth", 1)) + 1 > STACK_DEPTH:
+        return False
     return b <= VMEM_LIMIT - (8 << 20)   # headroom for ray windows
 
 
@@ -289,9 +298,14 @@ def _traverse_kernel(mask_ref, nodes, leaves, ox, oy, oz, dx, dy,
                     hit = hit & act
                 ev = fr[0, 64 + c]
                 push = jnp.any(hit) & (ev > (MISSING_F * 0.5))
-                pos = jnp.where(push, sp, STACK_DEPTH)
+                # overflow guard: drop the push (not the write bounds) when
+                # the stack is full; build_packet_bvh refuses to emit tables
+                # whose worst-case depth could hit this, so the clamp is a
+                # belt-and-braces bound, not a correctness path.
+                can = push & (sp < STACK_DEPTH)
+                pos = jnp.where(can, sp, STACK_DEPTH)
                 stack[pos] = ev.astype(jnp.int32)
-                sp = sp + push.astype(jnp.int32)
+                sp = sp + can.astype(jnp.int32)
             return sp, bt, bu, bv, bi
 
         def leaf_case(args):

@@ -19,8 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ignis_tpu.bsdf.union import (
-    bsdf_eval, bsdf_sample, bsdf_specular_mask, material_params)
+from ignis_tpu.bsdf import bsdf_eval, bsdf_sample
+from ignis_tpu.bsdf.union import bsdf_specular_mask, material_params
 from ignis_tpu.core import rng
 from ignis_tpu.core.vec import FLT_EPS, FLT_MAX, dot, normalize, safe_div
 from ignis_tpu.light.emission import sample_light_emission

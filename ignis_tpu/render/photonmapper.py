@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ignis_tpu.bsdf.union import (
-    bsdf_eval, bsdf_sample, bsdf_specular_mask, material_params)
+from ignis_tpu.bsdf import bsdf_eval, bsdf_sample
+from ignis_tpu.bsdf.union import bsdf_specular_mask, material_params
 from ignis_tpu.core import rng
 from ignis_tpu.core.vec import FLT_EPS, FLT_MAX, dot, safe_div
 from ignis_tpu.light.emission import sample_light_emission

@@ -443,7 +443,9 @@ def _flatten_bsdf(scene, obj: dict, depth: int = 0) -> dict:
 
     def child(name):
         ref = obj.get(name, "")
-        cobj = scene.bsdfs.get(ref)
+        if isinstance(ref, dict):
+            return ref          # inline nested bsdf object
+        cobj = scene.bsdfs.get(ref) if isinstance(ref, str) else None
         if cobj is None:
             # ErrorBSDF semantics: signal-pink diffuse
             return {"type": "diffuse", "reflectance": [1, 0, 1]}
@@ -950,6 +952,10 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     for lname in scene.lights_order:
         lobj = scene.lights[lname]
         ltype = lobj.get("type", "point")
+        # alias spellings accepted by the reference (LoaderLight.cpp:57-96)
+        ltype = {"cieuniform": "cie_uniform", "ciecloudy": "cie_cloudy",
+                 "cieclear": "cie_clear",
+                 "cieintermediate": "cie_intermediate"}.get(ltype, ltype)
         lid = len(lights)
         if ltype == "point":
             pos, _ = _color(lobj.get("position"), (0, 0, 0))
@@ -1277,7 +1283,10 @@ def _bake_texture(textures, img_tables, tid, bw=1024, bh=512):
     uu, vv = np.meshgrid(us, vs)
     uv = jnp.asarray(np.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1),
                      jnp.float32)
-    out = np.asarray(eval_one(stub, img_tables, tex, uv))
+    out = np.asarray(eval_one(stub, img_tables, tex, uv), np.float32)
+    # constant/scalar textures evaluate to a broadcastable shape ((3,) or
+    # (N,1)) rather than (N,3) — broadcast before the grid reshape
+    out = np.broadcast_to(np.atleast_2d(out), (bh * bw, 3))
     return out.reshape(bh, bw, 3)
 
 

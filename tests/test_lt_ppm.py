@@ -112,3 +112,57 @@ def test_emission_sampling_point_light():
     d = np.asarray(em["dir"])
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
     assert (d[:, 2] > 0).any() and (d[:, 2] < 0).any()
+
+
+def _mix_box(tech, mixed=True):
+    sc = _box_scene(tech)
+    if mixed:
+        # mix(diffuse(0.9), diffuse(0.1), k=0.75) == diffuse(0.3) exactly
+        # for eval and statistically for sampling (mix.art:10-13)
+        sc["bsdfs"] = [
+            {"type": "diffuse", "name": "hi", "reflectance": [0.9] * 3},
+            {"type": "diffuse", "name": "lo", "reflectance": [0.1] * 3},
+            {"type": "mix", "name": "white", "first": "hi",
+             "second": "lo", "weight": 0.75},
+        ]
+    else:
+        sc["bsdfs"] = [
+            {"type": "diffuse", "name": "white", "reflectance": [0.3] * 3}]
+    return sc
+
+
+def _render_scene_mean(sc, iters=6, spi=6):
+    from ignis_tpu.api import load_scene
+    rt = load_scene(json.dumps(sc))
+    for _ in range(iters):
+        rt.step(spi=spi)
+    img = rt.currentFrame()
+    assert np.isfinite(img).all()
+    return img.mean()
+
+
+def test_lighttracer_respects_mix_weight():
+    """Regression: lighttracer must use the layered (two-lobe) BSDF
+    dispatchers, not the single-lobe union functions — a mix BSDF must
+    match its lerped-diffuse equivalent under light transport."""
+    ref = _render_scene_mean(
+        _mix_box({"type": "lighttracer", "max_depth": 4}, mixed=False),
+        iters=8, spi=8)
+    mix = _render_scene_mean(
+        _mix_box({"type": "lighttracer", "max_depth": 4}, mixed=True),
+        iters=8, spi=8)
+    assert mix > 0.0
+    assert abs(mix - ref) < 0.25 * ref
+
+
+def test_photonmapper_respects_mix_weight():
+    ref = _render_scene_mean(
+        _mix_box({"type": "photonmapper", "max_depth": 4,
+                  "photons": 20000, "radius": 0.05}, mixed=False),
+        iters=4, spi=2)
+    mix = _render_scene_mean(
+        _mix_box({"type": "photonmapper", "max_depth": 4,
+                  "photons": 20000, "radius": 0.05}, mixed=True),
+        iters=4, spi=2)
+    assert mix > 0.0
+    assert abs(mix - ref) < 0.3 * ref
