@@ -132,6 +132,39 @@ class Runtime:
         return self._samples
 
     # ------------------------------------------------------------------ render
+    # --------------------------------------------------------- parameters
+    def setParameter(self, name, value):
+        """Set a registry parameter (Runtime::setParameter,
+        Runtime.cpp:668-686).  Values live in the traced `params` table so
+        changing them never recompiles; unknown names raise KeyError (scene
+        must declare them in its `parameters` section, or use the built-in
+        __camera_*/__time keys)."""
+        reg = self.scene.param_registry
+        if name not in reg:
+            raise KeyError(
+                f"unknown registry parameter '{name}' (declared: "
+                f"{sorted(reg)})")
+        _, off, size = reg[name]
+        v = np.asarray(value, np.float32).reshape(-1)
+        if v.size == 1 and size > 1:
+            v = np.full(size, v[0], np.float32)
+        if v.size < size:
+            v = np.concatenate([v, np.ones(size - v.size, np.float32)])
+        self.tables["params"] = self.tables["params"].at[
+            off:off + size].set(jnp.asarray(v[:size]))
+
+    def getParameter(self, name):
+        reg = self.scene.param_registry
+        kind, off, size = reg[name]
+        v = np.asarray(self.tables["params"][off:off + size])
+        return float(v[0]) if kind in ("num", "int") else v
+
+    def setCameraOrientationParameter(self, eye, dir, up):
+        """Runtime::setCameraOrientationParameter (Runtime.cpp:703-708)."""
+        self.setParameter("__camera_eye", eye)
+        self.setParameter("__camera_dir", dir)
+        self.setParameter("__camera_up", up)
+
     def reset(self):
         self._accum = jnp.zeros_like(self._accum)
         self._samples = 0

@@ -28,6 +28,7 @@ import numpy as np
 
 from ignis_tpu.bsdf import union
 from ignis_tpu.core import rng
+from ignis_tpu.core.dgather import gather_rows
 from ignis_tpu.core.vec import FLT_EPS, cross, dot, normalize, safe_div
 
 
@@ -136,8 +137,8 @@ def prepare_surface(scene, tables, surf, d):
     surf["mix_kind"] = tables["mat_mix_kind"][mat_id]
 
     # lobe-B params (textured slots resolved like lobe A)
-    colors_b = tables["mat_colors_b"][mat_id]
-    scalars_b = tables["mat_scalars_b"][mat_id]
+    colors_b = gather_rows(tables["mat_colors_b"], mat_id)
+    scalars_b = gather_rows(tables["mat_scalars_b"], mat_id)
     if scene.textures:
         mat_tex_np = np.asarray(scene.tables["mat_tex_b"])
         if (mat_tex_np >= 0).any():

@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ignis_tpu.core import rng
+from ignis_tpu.core.dgather import gather_rows
 from ignis_tpu.core.vec import (
     FLT_EPS, INV_PI, absolute_cos, dot, mulf, positive_cos, reflect, refract,
     safe_div, to_world, vec3,
@@ -77,8 +78,8 @@ def material_params(scene, tables, surf):
     """Gather per-lane material colors/scalars, resolving textured slots
     (ShadingTree embed-vs-texture decision evaluated at trace time)."""
     mat_id = surf["mat_id"]
-    colors = tables["mat_colors"][mat_id]    # (N, 4, 3)
-    scalars = tables["mat_scalars"][mat_id]  # (N, 8)
+    colors = gather_rows(tables["mat_colors"], mat_id)    # (N, 4, 3)
+    scalars = gather_rows(tables["mat_scalars"], mat_id)  # (N, 8)
     if scene.textures:
         import numpy as _np
         from ignis_tpu.texture import resolve_color
@@ -93,8 +94,8 @@ def material_params(scene, tables, surf):
 
 
 def _mat_gather(tables, mat_id):
-    colors = tables["mat_colors"][mat_id]    # (N, 4, 3)
-    scalars = tables["mat_scalars"][mat_id]  # (N, 8)
+    colors = gather_rows(tables["mat_colors"], mat_id)    # (N, 4, 3)
+    scalars = gather_rows(tables["mat_scalars"], mat_id)  # (N, 8)
     return colors, scalars
 
 
@@ -527,7 +528,8 @@ def _params(tables, surf, lobe="a"):
         if "colors_b" in surf:
             return surf["colors_b"], surf["scalars_b"]
         mat_id = surf["mat_id"]
-        return tables["mat_colors_b"][mat_id], tables["mat_scalars_b"][mat_id]
+        return (gather_rows(tables["mat_colors_b"], mat_id),
+                gather_rows(tables["mat_scalars_b"], mat_id))
     if "colors" in surf:
         return surf["colors"], surf["scalars"]
     return _mat_gather(tables, surf["mat_id"])

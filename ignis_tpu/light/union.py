@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ignis_tpu.core import rng
+from ignis_tpu.core.dgather import gather_rows
 from ignis_tpu.core.vec import (
     FLT_EPS, FLT_MAX, PI, cross, dot, length, mulf, normalize, safe_div,
     safe_sqrt, vec3,
@@ -64,7 +65,7 @@ def _safe_len(v):
 
 
 def _ldata(tables, light_idx):
-    return tables["light_data"][light_idx]  # (N, 32)
+    return gather_rows(tables["light_data"], light_idx)  # (N, 32)
 
 
 def select_light_uniform(num_lights, seed, counter, active):

@@ -18,8 +18,18 @@ def pixel_coord_from_xy(x, y, w, h, sx, sy):
     return nx, ny
 
 
-def camera_frame(cam: CameraConfig):
-    """view matrix columns (right, up, dir) — perspective.art:30-32."""
+def camera_frame(cam: CameraConfig, dyn=None):
+    """view matrix columns (right, up, dir) — perspective.art:30-32.
+
+    dyn: optional traced (eye, dir, up) vectors from the parameter
+    registry (__camera_* keys, Runtime.cpp:703-708) so camera pose can
+    change between steps without recompiling."""
+    if dyn is not None:
+        _, d, up = dyn
+        right = jnp.cross(d, up)
+        right = right / jnp.maximum(
+            jnp.sqrt(jnp.sum(right * right)), 1e-20)
+        return right, up, d
     d = np.asarray(cam.dir, dtype=np.float64)
     up = np.asarray(cam.up, dtype=np.float64)
     right = np.cross(d, up)
@@ -28,9 +38,11 @@ def camera_frame(cam: CameraConfig):
             jnp.asarray(cam.dir, jnp.float32))
 
 
-def generate_rays(cam: CameraConfig, nx, ny):
-    """Camera ray generation: perspective (+DoF TODO), orthogonal, fishlens."""
-    right, up, d = camera_frame(cam)
+def generate_rays(cam: CameraConfig, nx, ny, dyn=None):
+    """Camera ray generation: perspective (+DoF), orthogonal, fishlens."""
+    right, up, d = camera_frame(cam, dyn)
+    eye = (jnp.asarray(cam.eye, jnp.float32) if dyn is None
+           else jnp.asarray(dyn[0], jnp.float32))
     tmin = jnp.full(nx.shape, cam.tmin, jnp.float32)
     tmax = jnp.full(nx.shape, cam.tmax, jnp.float32)
 
@@ -39,7 +51,7 @@ def generate_rays(cam: CameraConfig, nx, ny):
         sw, sh = float(cam.scale[0]), float(cam.scale[1])
         org = (right[None, :] * (sw * nx)[..., None]
                + up[None, :] * (sh * ny)[..., None]
-               + jnp.asarray(cam.eye, jnp.float32)[None, :])
+               + eye[None, :])
         dirs = jnp.broadcast_to(d, org.shape)
         return org, dirs, tmin, tmax
 
@@ -72,7 +84,7 @@ def generate_rays(cam: CameraConfig, nx, ny):
         world = (right[None, :] * local[..., 0:1]
                  + up[None, :] * local[..., 1:2] + d[None, :] * local[..., 2:3])
         dirs = normalize(world)
-        org = jnp.broadcast_to(jnp.asarray(cam.eye, jnp.float32), dirs.shape)
+        org = jnp.broadcast_to(eye, dirs.shape)
         return org, dirs, tmin, tmax
 
     # perspective (perspective.art:29-41)
@@ -81,7 +93,7 @@ def generate_rays(cam: CameraConfig, nx, ny):
              + up[None, :] * (sh * ny)[..., None]
              + d[None, :])
     dirs = normalize(world)
-    org = jnp.broadcast_to(jnp.asarray(cam.eye, jnp.float32), dirs.shape)
+    org = jnp.broadcast_to(eye, dirs.shape)
     return org, dirs, tmin, tmax
 
 

@@ -31,6 +31,7 @@ from ignis_tpu.bsdf import (
     bsdf_eval, bsdf_pdf, bsdf_sample, bsdf_specular_mask, prepare_surface,
 )
 from ignis_tpu.core import rng
+from ignis_tpu.core.dgather import gather_rows
 from ignis_tpu.core.vec import (
     FLT_EPS, FLT_MAX, cross, dot, length, normalize, orthonormal_basis,
     safe_div,
@@ -499,7 +500,19 @@ def _emit_camera(scene, x, y, sample, iteration, frame, user_seed,
         rx, counter = rng.next_f32(seed, counter)
         ry, counter = rng.next_f32(seed, counter)
     nx, ny = pixel_coord_from_xy(x, y, scene.width, scene.height, rx, ry)
-    org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny)
+    # camera pose from the parameter registry (__camera_* keys,
+    # Runtime.cpp:703-708): traced, so pose changes never recompile
+    dyn = None
+    reg = getattr(scene, "param_registry", None)
+    if tables is not None and reg and "__camera_eye" in reg \
+            and "params" in tables:
+        p = tables["params"]
+
+        def _sl(nm):
+            _, off, sz = reg[nm]
+            return p[off:off + sz]
+        dyn = (_sl("__camera_eye"), _sl("__camera_dir"), _sl("__camera_up"))
+    org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny, dyn=dyn)
     return seed, counter, org, direction, tmin, tmax
 
 
@@ -734,7 +747,7 @@ def _gather_mat_type(scene, tables, mat_id):
 
 def _area_light_radiance(scene, tables, light_idx):
     """Radiance color of area lights by id (layout per light type)."""
-    data = tables["light_data"][light_idx]
+    data = gather_rows(tables["light_data"], light_idx)
     ltype = tables["light_type"][light_idx]
     from ignis_tpu.scene.compile import LIGHT_AREA_PLANE
     return jnp.where((ltype == LIGHT_AREA_PLANE)[..., None],

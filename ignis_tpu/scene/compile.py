@@ -1238,6 +1238,34 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     tables.update(light_extra)
     tables.update(klems_tables_all)
 
+    # ---- parameter registry (ParameterSet, RuntimeStructs.h:56-69;
+    # Runtime.cpp:668-731 built-in keys).  Scene `parameters` + built-ins
+    # become ONE traced float vector so values can be changed (and
+    # differentiated) between steps without recompilation.
+    param_registry: dict = {}
+    param_init: list = []
+
+    def _reg_param(pn, kind, vals):
+        size = {"num": 1, "int": 1, "vec2": 2, "vec3": 3, "vec4": 4}[kind]
+        v = np.asarray(vals, np.float32).reshape(-1)
+        if v.size == 1 and size > 1:
+            v = np.full(size, v[0], np.float32)
+        v = v[:size]
+        if v.size < size:
+            v = np.concatenate([v, np.ones(size - v.size, np.float32)])
+        param_registry[pn] = (kind, len(param_init), size)
+        param_init.extend(float(x) for x in v)
+
+    for pname_, (pkind_, pval_) in scene_params.items():
+        _reg_param(pname_, pkind_, pval_)
+    _reg_param("__camera_eye", "vec3", camera.eye)
+    _reg_param("__camera_dir", "vec3", camera.dir)
+    _reg_param("__camera_up", "vec3", camera.up)
+    _reg_param("__time", "num", 0.0)
+    _reg_param("__scene_bbox_min", "vec3", bbox_min)
+    _reg_param("__scene_bbox_max", "vec3", bbox_max)
+    tables["params"] = np.asarray(param_init, np.float32)
+
     cs = CompiledScene(
         width=w, height=h, sampler=sampler, camera=camera, technique=technique,
         bsdf_types=bsdf_types, lights=lights, num_entities=num_entities,
@@ -1252,6 +1280,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     cs.tensortree_info = tt_info
     cs.djmeasured_info = dj_info
     cs.parameter_values = scene_params
+    cs.param_registry = param_registry
     return cs
 
 

@@ -60,15 +60,36 @@ def _wrapf(x, lo, hi):
     return jnp.where(t < 0, t + d, t) + lo
 
 
-def _checkerboard(tex, uv):
+def _checkerboard(scene, tables, tex, uv, ctx=None):
+    def _dyn(key, const, color=False):
+        """Constant or PExpr-string property (registry params etc.)."""
+        ref = tex.get(key + "_ref")
+        if ref is None:
+            return jnp.asarray(const)
+        from ignis_tpu.texture.pexpr import eval_pexpr
+        kind, val = eval_pexpr(scene, tables, ref,
+                               {"uv": uv} if ctx is None else ctx)
+        val = jnp.asarray(val, jnp.float32)
+        if color:
+            if kind in ("num", "int", "bool"):
+                val = val[..., None] * jnp.ones((3,), jnp.float32)
+            elif kind == "vec4":
+                val = val[..., :3]
+            elif kind == "vec2":
+                val = jnp.concatenate(
+                    [val, jnp.zeros(val.shape[:-1] + (1,), jnp.float32)], -1)
+        return val
+
     m = jnp.asarray(tex["transform"])
     uv2 = uv @ m[:, :2].T + m[:, 2]
-    suv = uv2 * jnp.asarray(tex["scale"])
+    sx = jnp.asarray(_dyn("scale_x", tex["scale"][0]), jnp.float32)
+    sy = jnp.asarray(_dyn("scale_y", tex["scale"][1]), jnp.float32)
+    suv = uv2 * jnp.stack(jnp.broadcast_arrays(sx, sy), axis=-1)
     px = (_wrapf(suv[..., 0], 0.0, 2.0).astype(jnp.int32) % 2) == 0
     py = (_wrapf(suv[..., 1], 0.0, 2.0).astype(jnp.int32) % 2) == 0
     sel = px ^ py
-    return jnp.where(sel[..., None], jnp.asarray(tex["color0"]),
-                     jnp.asarray(tex["color1"]))
+    return jnp.where(sel[..., None], _dyn("color0", tex["color0"], True),
+                     _dyn("color1", tex["color1"], True))
 
 
 def _hash2(ix, iy, seed):
@@ -126,7 +147,7 @@ def eval_one(scene, tables, tex, uv, ctx=None):
         return _sample_image(tables[tex["img_key"]], uv2, tex["filter"],
                              tex["wrap_u"], tex["wrap_v"])
     if t == TEX_CHECKERBOARD:
-        return _checkerboard(tex, uv)
+        return _checkerboard(scene, tables, tex, uv, ctx)
     if t == TEX_NOISE:
         return _noise(tex, uv)
     if t == TEX_EXPR:

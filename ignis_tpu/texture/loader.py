@@ -126,17 +126,34 @@ def compile_textures(scene) -> tuple[list, dict]:
                 linear=bool(obj.get("linear", False))))
         elif ttype == "checkerboard":
             t34 = parse_transform(obj.get("transform")) if "transform" in obj else np.eye(4)
-            c0 = np.asarray(obj.get("color0", [0, 0, 0]), np.float32)
-            c1 = np.asarray(obj.get("color1", [1, 1, 1]), np.float32)
-            if c0.size == 1:
-                c0 = np.full(3, float(c0), np.float32)
-            if c1.size == 1:
-                c1 = np.full(3, float(c1), np.float32)
+
+            def _cprop(key, default):
+                """Constant color, or a PExpr/param string kept as a
+                runtime-resolved reference (ShadingTree string path)."""
+                v = obj.get(key, default)
+                if isinstance(v, str):
+                    return np.asarray(default, np.float32), v
+                a = np.asarray(v, np.float32)
+                if a.size == 1:
+                    a = np.full(3, float(a), np.float32)
+                return a, None
+
+            def _nprop(key, default):
+                v = obj.get(key, default)
+                if isinstance(v, str):
+                    return float(default), v
+                return float(v), None
+
+            c0, c0_ref = _cprop("color0", [0, 0, 0])
+            c1, c1_ref = _cprop("color1", [1, 1, 1])
+            sx, sx_ref = _nprop("scale_x", 2.0)
+            sy, sy_ref = _nprop("scale_y", 2.0)
             textures.append(dict(
                 type=TEX_CHECKERBOARD, name=name,
                 color0=c0, color1=c1,
-                scale=np.asarray([float(obj.get("scale_x", 2.0)),
-                                  float(obj.get("scale_y", 2.0))], np.float32),
+                color0_ref=c0_ref, color1_ref=c1_ref,
+                scale_x_ref=sx_ref, scale_y_ref=sy_ref,
+                scale=np.asarray([sx, sy], np.float32),
                 transform=t34[:2, (0, 1, 3)].astype(np.float32)))
         elif ttype in ("noise", "cellnoise", "fbm", "perlin", "pnoise",
                        "voronoi"):

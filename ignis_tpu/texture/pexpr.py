@@ -263,7 +263,21 @@ class Evaluator:
                   "Inf": float("inf")}
         if name in consts:
             return ("num", jnp.float32(consts[name]))
-        # scene parameters (docs/src/scene/pexpr.rst "Scene Parameters")
+        # scene parameters (docs/src/scene/pexpr.rst "Scene Parameters").
+        # When the compiled params vector is available the lookup is a
+        # TRACED slice (registry values change without recompilation,
+        # Runtime.cpp:668-686 / registry.art get_global_parameter_*);
+        # otherwise fall back to the compile-time constant.
+        reg = getattr(self.scene, "param_registry", None)
+        tbl = self.tables if isinstance(self.tables, dict) else None
+        if reg and name in reg and tbl is not None and "params" in tbl:
+            kind, off, size = reg[name]
+            vec = tbl["params"][off:off + size]
+            if kind == "num":
+                return ("num", vec[0])
+            if kind == "int":
+                return ("int", vec[0].astype(jnp.int32))
+            return (kind, vec)
         params = getattr(self.scene, "parameter_values", {}) or {}
         if name in params:
             kind, val = params[name]

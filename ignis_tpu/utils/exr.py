@@ -70,8 +70,29 @@ def write_exr(path, image: np.ndarray) -> None:
         f.write(b"".join(rows))
 
 
+def _read_exr_native(path):
+    """Read any EXR via the native OpenEXR shim; None when unavailable."""
+    import ctypes
+
+    from ignis_tpu.native.build import load_exr_shim
+    lib = load_exr_shim()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = str(path).encode()
+    if lib.ig_exr_read_size(p, ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    buf = np.empty((h.value, w.value, 4), np.float32)
+    if lib.ig_exr_read(
+            p, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))) != 0:
+        return None
+    return np.ascontiguousarray(buf[..., :3])
+
+
 def read_exr(path) -> np.ndarray:
-    """Read scanline EXR (none/zip/zips compression; float/half) → (H,W,3)."""
+    """Read scanline EXR (none/zip/zips compression; float/half) → (H,W,3).
+    Other compressions (PIZ etc.) fall back to the native OpenEXR shim."""
     with open(path, "rb") as f:
         data = f.read()
     magic, version = struct.unpack_from("<ii", data, 0)
@@ -114,7 +135,13 @@ def read_exr(path) -> np.ndarray:
     elif comp in (2, 3):  # ZIPS, ZIP
         rows_per_block = 1 if comp == 2 else 16
     else:
-        raise ValueError(f"Unsupported EXR compression {comp}")
+        # PIZ/RLE/B44/... → native OpenEXR shim (covers everything the
+        # reference ingests via tinyexr, incl. the PIZ golden references)
+        img = _read_exr_native(path)
+        if img is not None:
+            return img
+        raise ValueError(f"Unsupported EXR compression {comp} "
+                         f"(and no system OpenEXR library for fallback)")
 
     nblocks = (h + rows_per_block - 1) // rows_per_block
     offsets = struct.unpack_from(f"<{nblocks}q", data, pos)

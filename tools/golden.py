@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Golden-image regression vs /root/reference/scenes/evaluation/references.
+
+The reference ships 40 EXRs rendered at 4096/8192 spp by Mitsuba 2/3
+(scalar_rgb), Blender Cycles and Radiance (scenes/evaluation/README.md).
+This harness renders each matching scene with ignis_tpu at the scene's own
+film size (256x256) and compares:
+
+  * rel_mean  — |mean(ours) - mean(ref)| / mean(ref)   (global energy)
+  * relmse    — mean(((o - r)^2) / (r^2 + 1e-3))       (pixelwise, the
+                standard inverse-rendering metric; tolerant of our MC noise
+                at moderate spp and of their residual noise)
+
+Usage:
+  python tools/golden.py [--spp N] [--out GOLDEN.json] [--only name ...]
+  python tools/golden.py --list
+
+Scoreboard JSON: {scene: {status, rel_mean, relmse, spp, ...}, summary}.
+Per-scene tolerances below; scenes whose renderer disagrees with OUR
+estimator for documented reasons carry wider bounds or a note.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+EVAL = Path("/root/reference/scenes/evaluation")
+REFS = EVAL / "references"
+
+# ref image stem -> scene json stem (where names differ)
+SCENE_OVERRIDES = {
+    "sphere-light": "sphere-light-pure",
+    "two-planes": "two-planes-base",
+}
+
+DEFAULT_TOL = dict(rel_mean=0.10, relmse=0.25)
+# Per-scene overrides: (rel_mean, relmse, note)
+TOLERANCES = {
+    # sky models: absolute radiometry of CIE/Perez skies differs by
+    # normalization conventions across renderers; compare shape loosely
+    "sky-clear": dict(rel_mean=0.25, relmse=1.0),
+    "sky-intermediate": dict(rel_mean=0.25, relmse=1.0),
+    "sky-cloudy": dict(rel_mean=0.25, relmse=1.0),
+    "sky-uniform": dict(rel_mean=0.25, relmse=1.0),
+    "sky-perez1": dict(rel_mean=0.25, relmse=1.0),
+    # glass/dielectric stacks: deep specular chains, high variance
+    "flipped-prim-glass": dict(rel_mean=0.15, relmse=1.0),
+    "three-planes-glass": dict(rel_mean=0.15, relmse=1.0),
+    "three-planes-dielectric": dict(rel_mean=0.15, relmse=1.0),
+    "three-planes-interface": dict(rel_mean=0.15, relmse=1.0),
+    "two-planes-mirror": dict(rel_mean=0.15, relmse=1.0),
+}
+
+
+def discover():
+    cases = []
+    for f in sorted(REFS.glob("ref-*.exr")):
+        stem = f.stem[len("ref-"):]
+        for suf in ("-4096", "-8192", "-rad"):
+            if stem.endswith(suf):
+                stem = stem[: -len(suf)]
+                break
+        scene = EVAL / (SCENE_OVERRIDES.get(stem, stem) + ".json")
+        cases.append((stem, scene, f))
+    return cases
+
+
+def render_scene(scene_path, spp, width=None, height=None):
+    from ignis_tpu.api import load_scene
+    rt = load_scene(str(scene_path), width=width, height=height)
+    spi = 4
+    steps = max(1, spp // spi)
+    for _ in range(steps):
+        rt.step(spi=spi)
+    return rt.currentFrame()
+
+
+def compare(ours, ref):
+    ours = np.asarray(ours, np.float64)
+    ref = np.asarray(ref, np.float64)
+    if ours.shape != ref.shape:
+        # box-downsample the larger onto the smaller grid
+        def down(img, hw):
+            h, w = hw
+            H, W, _ = img.shape
+            fy, fx = H // h, W // w
+            return img[: h * fy, : w * fx].reshape(
+                h, fy, w, fx, 3).mean(axis=(1, 3))
+        h = min(ours.shape[0], ref.shape[0])
+        w = min(ours.shape[1], ref.shape[1])
+        ours, ref = down(ours, (h, w)), down(ref, (h, w))
+    mr = float(ref.mean())
+    rel_mean = abs(float(ours.mean()) - mr) / max(mr, 1e-9)
+    relmse = float(np.mean((ours - ref) ** 2 / (ref ** 2 + 1e-3)))
+    return rel_mean, relmse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--out", default="GOLDEN.json")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--list", action="store_true")
+    ap.add_argument("--size", type=int, default=None,
+                    help="override render size (refs are 256)")
+    args = ap.parse_args(argv)
+
+    cases = discover()
+    if args.list:
+        for stem, scene, ref in cases:
+            print(stem, "->", scene.name, scene.exists())
+        return 0
+
+    from ignis_tpu.utils.exr import read_exr
+    board = {}
+    npass = nfail = nerror = 0
+    for stem, scene, ref_path in cases:
+        if args.only and stem not in args.only:
+            continue
+        tol = dict(DEFAULT_TOL)
+        tol.update(TOLERANCES.get(stem, {}))
+        entry = dict(scene=scene.name, spp=args.spp, **tol)
+        t0 = time.time()
+        try:
+            if not scene.exists():
+                raise FileNotFoundError(scene)
+            ref = read_exr(ref_path)
+            ours = render_scene(scene, args.spp,
+                                width=args.size, height=args.size)
+            rel_mean, relmse = compare(ours, ref)
+            ok = rel_mean <= tol["rel_mean"] and relmse <= tol["relmse"]
+            entry.update(status="pass" if ok else "fail",
+                         rel_mean=round(rel_mean, 4),
+                         relmse=round(relmse, 4),
+                         mean_ours=round(float(np.mean(ours)), 5),
+                         mean_ref=round(float(np.mean(ref)), 5),
+                         secs=round(time.time() - t0, 1))
+            npass += ok
+            nfail += not ok
+        except Exception as e:  # noqa: BLE001 — scoreboard must complete
+            entry.update(status="error", error=f"{type(e).__name__}: {e}",
+                         secs=round(time.time() - t0, 1))
+            nerror += 1
+        board[stem] = entry
+        print(f"[{entry['status']:5s}] {stem}: "
+              + (f"rel_mean={entry.get('rel_mean')} "
+                 f"relmse={entry.get('relmse')}"
+                 if entry["status"] != "error" else entry["error"]),
+              flush=True)
+
+    board["_summary"] = dict(passed=npass, failed=nfail, errors=nerror,
+                             total=npass + nfail + nerror, spp=args.spp)
+    Path(args.out).write_text(json.dumps(board, indent=1))
+    print(json.dumps(board["_summary"]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
