@@ -82,14 +82,13 @@ def select_light_uniform(num_lights, seed, counter, active):
     return idx, jnp.float32(1.0 / num_lights), counter
 
 
-def select_light(scene, tables, seed, counter, active):
+def select_light(scene, tables, seed, counter, active, from_pos=None):
     """Selector dispatch (light/light_selector.art:46-76).
 
     `simple`/`cdf` use the flux-weighted finite-light CDF with a 0.5
-    infinite/finite split when both exist; `hierarchy` currently maps to the
-    CDF selector (same estimator family, different variance — the reference's
-    point-BVH cut is a TODO).  Returns (light_idx, select_pdf (per-lane),
-    counter)."""
+    infinite/finite split when both exist; `hierarchy` descends the
+    point-BVH cut (light_hierarchy.art) using the shading point `from_pos`.
+    Returns (light_idx, select_pdf (per-lane), counter)."""
     kind = scene.technique.light_selector
     num_lights = scene.num_lights
     finite_ids = [i for i, l in enumerate(scene.lights) if not l.infinite]
@@ -100,6 +99,33 @@ def select_light(scene, tables, seed, counter, active):
         idx, pdf, counter = select_light_uniform(num_lights, seed, counter,
                                                  active)
         return idx, jnp.broadcast_to(pdf, counter.shape), counter
+
+    if (kind == "hierarchy" and "lh_child" in tables
+            and from_pos is not None and len(finite_ids) >= 2):
+        from ignis_tpu.light.hierarchy import hierarchy_sample
+        fin_map = jnp.asarray(finite_ids, jnp.int32)
+        depth = scene.lh_depth
+        if inf_ids:
+            ratio = jnp.float32(0.5)
+            q, counter_q = rng.next_f32(seed, counter)
+            counter = jnp.where(active, counter_q, counter)
+            pick_inf = q < ratio
+            if len(inf_ids) > 1:
+                iidx, counter_i = rng.next_i32(
+                    seed, counter, 0, len(inf_ids) - 1, active & pick_inf)
+                counter = counter_i
+            else:
+                iidx = jnp.zeros(counter.shape, jnp.int32)
+            inf_light = jnp.asarray(inf_ids, jnp.int32)[iidx]
+            loc, hpdf, counter = hierarchy_sample(
+                tables, from_pos, seed, counter, active & ~pick_inf, depth)
+            idx = jnp.where(pick_inf, inf_light, fin_map[loc])
+            pdf = jnp.where(pick_inf,
+                            ratio / len(inf_ids), hpdf * (1.0 - ratio))
+            return idx, pdf, counter
+        loc, hpdf, counter = hierarchy_sample(
+            tables, from_pos, seed, counter, active, depth)
+        return fin_map[loc], hpdf, counter
 
     cdf = tables["light_sel_cdf"]
     fin_map = jnp.asarray(finite_ids, jnp.int32)
@@ -132,6 +158,28 @@ def select_light(scene, tables, seed, counter, active):
                        cdf.shape[0] - 1)
         idx = fin_map[off]
     return idx, sel_pdf_tab[idx], counter
+
+
+def light_select_pdf(scene, tables, light_idx, from_pos):
+    """Per-lane pdf of the selector choosing `light_idx` (global id) from
+    `from_pos` — the MIS counterpart of select_light (LightSelector.pdf,
+    light_selector.art).  Static table for uniform/CDF; position-dependent
+    replay for the hierarchy."""
+    kind = scene.technique.light_selector
+    finite_ids = [i for i, l in enumerate(scene.lights) if not l.infinite]
+    inf_ids = [i for i, l in enumerate(scene.lights) if l.infinite]
+    static = tables["light_sel_pdf"][light_idx]
+    if (kind != "hierarchy" or "lh_child" not in tables
+            or from_pos is None or len(finite_ids) < 2):
+        return static
+    from ignis_tpu.light.hierarchy import hierarchy_pdf
+    loc = tables["light_fin_local"][light_idx]
+    hpdf = hierarchy_pdf(tables, jnp.maximum(loc, 0), from_pos,
+                         scene.lh_depth)
+    if inf_ids:
+        hpdf = hpdf * jnp.float32(0.5)
+    # infinite lights keep the static split pdf
+    return jnp.where(loc >= 0, hpdf, static)
 
 
 # ---------------------------------------------------------------- sampling

@@ -40,7 +40,7 @@ from ignis_tpu.light import (
     env_emission_and_pdf, light_pdf_direct_solid, sample_light_direct,
     select_light_uniform,
 )
-from ignis_tpu.light.union import select_light
+from ignis_tpu.light.union import light_select_pdf, select_light
 from ignis_tpu.ops.intersect import intersect_any, intersect_closest
 from ignis_tpu.render.camera import generate_rays, pixel_coord_from_xy
 
@@ -271,7 +271,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
             surf["prim_coords"], is_emissive)
         radiance = _area_light_radiance(scene, tables, lidx)
         if tech.enable_nee:
-            lpdf = tables["light_sel_pdf"][lidx]
+            lpdf = light_select_pdf(scene, tables, lidx, org)
             mis = 1.0 / (1.0 + inv_pdf_eff * lpdf * pdf_s)
         else:
             mis = jnp.ones((n,), jnp.float32)
@@ -286,7 +286,8 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
     if do_nee:
         nee_active = hit & ~specular & (depth + 1 <= tech.max_depth) & ~nullfl
         lsel, sel_pdf, counter = select_light(
-            scene, tables, seed, counter, nee_active)
+            scene, tables, seed, counter, nee_active,
+            from_pos=surf["point"])
         ls, counter = sample_light_direct(
             scene, tables, lsel, surf["point"], surf["is_entering"],
             seed, counter, nee_active)

@@ -1192,6 +1192,40 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
                 sel_pdf[li] = pdf_fin[k]
     elif n_l > 0:
         sel_pdf[:n_l] = 1.0 / n_l
+    # ---- light hierarchy selector tables (LightHierarchy.cpp:29-125)
+    lh_tables: dict = {}
+    lh_depth = 0
+    fin_local = np.full(max(1, n_l), -1, np.int32)
+    for k, li in enumerate(finite_ids):
+        fin_local[li] = k
+    if sel_kind == "hierarchy" and len(finite_ids) >= 2:
+        from ignis_tpu.light.hierarchy import build_light_hierarchy
+        hpos, hdir, hhas = [], [], []
+        scene_c = (bbox_min + bbox_max) * 0.5
+        for li in finite_ids:
+            t = lights[li].type
+            dataf = light_data[li]
+            if t == LIGHT_POINT:
+                p, dd, hd = dataf[0:3], (0, 0, 1), False
+            elif t == LIGHT_SPOT:
+                p, dd, hd = dataf[0:3], dataf[3:6], True
+            elif t == LIGHT_AREA_PLANE:
+                p = dataf[0:3] + 0.5 * (dataf[3:6] + dataf[6:9])
+                dd, hd = dataf[9:12], True
+            elif t == LIGHT_AREA_MESH:
+                o, c = lights[li].tri_offset, lights[li].tri_count
+                cent = (tri_v0[o:o + c]
+                        + (tri_e1[o:o + c] + tri_e2[o:o + c]) / 3.0)
+                p = cent.mean(axis=0) if c else scene_c
+                dd, hd = (0, 0, 1), False
+            else:
+                p, dd, hd = scene_c, (0, 0, 1), False
+            hpos.append(np.asarray(p, np.float32))
+            hdir.append(np.asarray(dd, np.float32))
+            hhas.append(hd)
+        lh_tables, lh_depth = build_light_hierarchy(
+            hpos, hdir, hhas, flux[finite_ids])
+
     light_type_arr = np.asarray([l.type for l in lights] or [0], dtype=np.int32)
     light_inf_arr = np.asarray([l.infinite for l in lights] or [False], dtype=bool)
     light_delta_arr = np.asarray([l.delta for l in lights] or [False], dtype=bool)
@@ -1232,6 +1266,8 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         "light_type": light_type_arr, "light_infinite": light_inf_arr,
         "light_delta": light_delta_arr,
         "light_sel_pdf": sel_pdf, "light_sel_cdf": fin_cdf,
+        "light_fin_local": fin_local,
+        **lh_tables,
     }
     if halton_setup is not None:
         tables["halton_offsets"] = halton_setup.pop("offsets")
@@ -1276,6 +1312,7 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     cs.mix_kinds = mix_kinds
     cs.nmod_kinds = nmod_kinds
     cs.halton_setup = halton_setup
+    cs.lh_depth = lh_depth
     cs.klems_info = klems_info
     cs.tensortree_info = tt_info
     cs.djmeasured_info = dj_info
