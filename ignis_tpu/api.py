@@ -49,7 +49,10 @@ _PB_MIN_TRIS = 4096
 class Runtime:
     def __init__(self, source, width=None, height=None, seed=0,
                  tile_size=_DEFAULT_TILE, use_bvh=None):
+        import time as _time
+        _t_load = _time.perf_counter()
         self.scene: CompiledScene = load_and_compile(source, width, height)
+        _t_load = _time.perf_counter() - _t_load
         tables = self.scene.tables
         ntris = tables["tri_v0"].shape[0]
         if use_bvh is None:
@@ -88,6 +91,12 @@ class Runtime:
         self._accum = jnp.zeros((h * w, 3), dtype=jnp.float32)
         self._samples = 0
         self._work_cache = {}
+        from ignis_tpu.utils.stats import Statistics
+        self.stats = Statistics()
+        self.stats.record("loading", _t_load)
+        self._dev_stats = jnp.zeros((3,), jnp.float32)
+        self._dev_stats_capacity = 0
+        self._first_step_done = False
         self._render_tile = jax.jit(
             partial(trace_wave, self.scene),
             static_argnames=())
@@ -172,6 +181,32 @@ class Runtime:
 
     def step(self, spi=1):
         """Render `spi` samples/pixel for this iteration and accumulate."""
+        import time as _time
+        t0 = _time.perf_counter()
+        self._step_impl(spi)
+        dt = _time.perf_counter() - t0
+        # the first step includes jit compilation (ScriptCompiler analog)
+        name = "step" if self._first_step_done else "compile+first step"
+        self._first_step_done = True
+        npix = self.scene.width * self.scene.height
+        self.stats.record(name, dt, workload=npix * spi)
+        self.stats.add("CameraRayCount", npix * spi)
+        self.stats.add("Iterations", 1)
+
+    def dumpStats(self) -> str:
+        """Statistics::dump analog (Statistics.cpp:151-228) + wavefront
+        occupancy quantities from the device counters."""
+        ds = np.asarray(self._dev_stats)
+        if ds[0] > 0:
+            cap = max(self._dev_stats_capacity, 1)
+            self.stats.set("WaveIterations", int(ds[0]))
+            self.stats.set("TailIterations", int(ds[2]))
+            self.stats.set("BounceLaneVisits", int(ds[1]))
+            self.stats.set("WaveOccupancy",
+                           float(ds[1] / (ds[0] * cap)))
+        return self.stats.dump()
+
+    def _step_impl(self, spi=1):
         w, h = self.scene.width, self.scene.height
         npix = w * h
         tech = self.scene.technique.type
@@ -218,11 +253,13 @@ class Runtime:
             work_x, work_y, work_s = self._work_cache[spi]
             capacity = int(min(self.tile_size, max(8192, 1 << int(np.ceil(
                 np.log2(max(total, 1)))))))
-            fb = self._render_wavefront(
+            fb, wstats = self._render_wavefront(
                 self.tables, work_x, work_y, work_s,
                 jnp.uint32(self.iteration), jnp.uint32(self.frame),
                 self.seed, capacity=capacity, spi=spi)
             self._accum = self._accum + fb
+            self._dev_stats = self._dev_stats + wstats
+            self._dev_stats_capacity = capacity
         else:
             tile = min(self.tile_size, npix)
             for sample in range(spi):

@@ -27,6 +27,12 @@ def build_parser():
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--stats", action="store_true",
+                   help="dump per-stage statistics after rendering")
+    p.add_argument("-P", "--parameter", action="append", default=[],
+                   metavar="NAME=VALUE",
+                   help="set a registry parameter (repeatable; vectors "
+                        "comma-separated)")
     p.add_argument("--tonemap", default=None,
                    choices=["none", "reinhard", "modified", "aces",
                             "uncharted2"],
@@ -40,6 +46,10 @@ def main(argv=None):
 
     rt = Runtime(args.scene, width=args.width, height=args.height,
                  seed=args.seed, use_bvh=(not args.no_bvh) or None)
+    for pv in args.parameter:
+        name, _, val = pv.partition("=")
+        vals = [float(x) for x in val.split(",")]
+        rt.setParameter(name, vals[0] if len(vals) == 1 else vals)
     spp = args.spp if args.spp is not None else (8 if args.timeout is None else 1 << 30)
     deadline = time.perf_counter() + args.timeout if args.timeout else None
 
@@ -73,6 +83,8 @@ def main(argv=None):
         print(f"Samples per second: {ss.min():.3f}/"
               f"{np.median(ss):.3f}/{ss.max():.3f} (min/med/max) Msamples/s")
     print(f"Done: {done} spp -> {args.output}")
+    if args.stats:
+        print(rt.dumpStats())
     return 0
 
 

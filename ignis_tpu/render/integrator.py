@@ -661,6 +661,9 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         pixel=jnp.zeros((c,), jnp.int32),
         next_work=jnp.int32(0),
         fb=jnp.zeros((npix, 3), jnp.float32),
+        # stats: [wave iterations, alive-lane visits, tail iterations]
+        # (Statistics.h quantity analogs, carried as cheap scalars)
+        stats=jnp.zeros((3,), jnp.float32),
     )
 
     def body(st):
@@ -703,6 +706,9 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st_next["pixel"] = st["pixel"]
         st_next["next_work"] = st["next_work"]
         st_next["fb"] = fb
+        st_next["stats"] = st["stats"] + jnp.float32([1.0, 0.0, 0.0]) \
+            + jnp.float32([0.0, 1.0, 0.0]) * jnp.sum(
+                st["alive"].astype(jnp.float32))
         return st_next
 
     tail_cap = int(min(tail_capacity, c))
@@ -710,7 +716,7 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         def cond(st):
             return (st["next_work"] < w_total) | jnp.any(st["alive"])
         state = jax.lax.while_loop(cond, body, state)
-        return state["fb"]
+        return state["fb"], state["stats"]
 
     def cond_wide(st):
         return ((st["next_work"] < w_total)
@@ -725,6 +731,7 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
                  "nullfl", "pixel")
     tail = {k: state[k][order] for k in lane_keys}
     tail["fb"] = state["fb"]
+    tail["stats"] = state["stats"]
 
     def tail_body(st):
         splat, st_next = _bounce_core(scene, tables, st, prim_mask,
@@ -732,13 +739,14 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st_next["fb"] = st["fb"].at[st["pixel"]].add(
             jnp.where(st["alive"][..., None], splat, 0.0))
         st_next["pixel"] = st["pixel"]
+        st_next["stats"] = st["stats"] + jnp.float32([0.0, 0.0, 1.0])
         return st_next
 
     def tail_cond(st):
         return jnp.any(st["alive"])
 
     tail = jax.lax.while_loop(tail_cond, tail_body, tail)
-    return tail["fb"]
+    return tail["fb"], tail["stats"]
 
 
 def _gather_mat_type(scene, tables, mat_id):

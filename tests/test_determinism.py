@@ -82,9 +82,9 @@ def test_wavefront_equals_trace_wave_sum():
     y = jnp.asarray((idx % npix // w).astype(np.int32))
     smp = jnp.asarray((idx // npix).astype(np.uint32))
 
-    fb = render_wavefront(scene, tables, x, y, smp,
-                          jnp.uint32(3), jnp.uint32(0), 0,
-                          capacity=256, spi=spi)
+    fb, _stats = render_wavefront(scene, tables, x, y, smp,
+                                  jnp.uint32(3), jnp.uint32(0), 0,
+                                  capacity=256, spi=spi)
     fb = np.asarray(fb)
 
     acc = np.zeros((npix, 3), np.float32)
