@@ -17,6 +17,48 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host initialization (SURVEY.md §5.8).
+
+    Call once per host before any jax use on a multi-host pod slice; the
+    arguments default to the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) or the
+    TPU metadata autodetection.  After this, `jax.devices()` spans the whole
+    slice and `make_mesh()` builds a global mesh whose collectives ride ICI
+    within hosts and DCN across them.  No-op when already initialized or
+    when running single-process.
+    """
+    import os
+    if jax.process_count() > 1:
+        return  # already initialized
+    kw = {}
+    if coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kw["coordinator_address"] = (
+            coordinator or os.environ["JAX_COORDINATOR_ADDRESS"])
+        if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+            kw["num_processes"] = int(
+                num_processes or os.environ["JAX_NUM_PROCESSES"])
+        if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+            kw["process_id"] = int(
+                process_id if process_id is not None
+                else os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kw)
+
+
+def host_local_work(mesh, x, y, sample, axis="rays"):
+    """Build global sharded work arrays from per-process local shards
+    (multi-host analog of shard_wave): each host contributes its slice of
+    the pixel work list; the result is one global array addressable by the
+    jitted step."""
+    from jax.sharding import NamedSharding
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() == 1:
+        return shard_wave(mesh, x, y, sample, axis=axis)
+    mk = jax.make_array_from_process_local_data
+    return (mk(sharding, np.asarray(x)), mk(sharding, np.asarray(y)),
+            mk(sharding, np.asarray(sample)))
+
+
 def make_mesh(n_devices=None, axis="rays", devices=None):
     devices = devices if devices is not None else jax.devices()
     if n_devices is not None:

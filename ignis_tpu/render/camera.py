@@ -38,8 +38,12 @@ def camera_frame(cam: CameraConfig, dyn=None):
             jnp.asarray(cam.dir, jnp.float32))
 
 
-def generate_rays(cam: CameraConfig, nx, ny, dyn=None):
-    """Camera ray generation: perspective (+DoF), orthogonal, fishlens."""
+def generate_rays(cam: CameraConfig, nx, ny, dyn=None, lens_uv=None):
+    """Camera ray generation: perspective (+DoF), orthogonal, fishlens.
+
+    lens_uv: optional (u1, u2) uniform draws for the thin-lens aperture
+    (make_perspective_dof_camera, perspective.art:69-83); required when
+    cam.aperture_radius > 0."""
     right, up, d = camera_frame(cam, dyn)
     eye = (jnp.asarray(cam.eye, jnp.float32) if dyn is None
            else jnp.asarray(dyn[0], jnp.float32))
@@ -93,6 +97,18 @@ def generate_rays(cam: CameraConfig, nx, ny, dyn=None):
              + up[None, :] * (sh * ny)[..., None]
              + d[None, :])
     dirs = normalize(world)
+    if cam.aperture_radius > 0.0 and lens_uv is not None:
+        # thin-lens DoF (perspective.art:74-82): focus point along the pinhole
+        # dir at focal_length; origin jittered on the concentric-disk aperture
+        from ignis_tpu.core.warp import square_to_concentric_disk
+        ax, ay = square_to_concentric_disk(lens_uv[0], lens_uv[1])
+        ar = jnp.float32(cam.aperture_radius)
+        ap = (right[None, :] * (ax * ar)[..., None]
+              + up[None, :] * (ay * ar)[..., None])
+        focus = dirs * jnp.float32(cam.focal_length)
+        dirs = normalize(focus - ap)
+        org = eye[None, :] + ap
+        return org, dirs, tmin, tmax
     org = jnp.broadcast_to(eye, dirs.shape)
     return org, dirs, tmin, tmax
 

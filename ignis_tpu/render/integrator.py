@@ -513,7 +513,13 @@ def _emit_camera(scene, x, y, sample, iteration, frame, user_seed,
             _, off, sz = reg[nm]
             return p[off:off + sz]
         dyn = (_sl("__camera_eye"), _sl("__camera_dir"), _sl("__camera_up"))
-    org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny, dyn=dyn)
+    lens_uv = None
+    if scene.camera.aperture_radius > 0.0:
+        u1, counter = rng.next_f32(seed, counter)
+        u2, counter = rng.next_f32(seed, counter)
+        lens_uv = (u1, u2)
+    org, direction, tmin, tmax = generate_rays(scene.camera, nx, ny, dyn=dyn,
+                                               lens_uv=lens_uv)
     return seed, counter, org, direction, tmin, tmax
 
 

@@ -324,6 +324,69 @@ def _read_binary_faces(body: bytes, offset: int, count: int, props, endian: str)
     return np.asarray(rows, dtype=np.int32), pos
 
 
+def load_serialized(path: str | Path, shape_index: int = 0) -> TriMesh:
+    """Mitsuba `.serialized` mesh file (mesh/MtsSerializedFile.cpp:163-318).
+
+    Layout: u16 ident 0x041C, u16 version (>= 3); zlib-deflated shape blobs;
+    trailing dictionary of u64 (v4+) / u32 (v3) start offsets, then u32
+    shape count.  Each blob: u32 flags, [v4+: NUL-terminated name],
+    u64 vertexCount, u64 triCount, positions/normals/uv/colors (f32 or f64
+    per MF_DOUBLE), then u32/u64 index triples."""
+    import struct
+    import zlib
+    data = Path(path).read_bytes()
+    ident, version = struct.unpack_from("<HH", data, 0)
+    if ident != 0x041C:
+        raise ValueError(f"{path}: not a Mitsuba serialized file")
+    if version < 3:
+        raise ValueError(f"{path}: serialized version {version} < 3")
+    (count,) = struct.unpack_from("<I", data, len(data) - 4)
+    if shape_index >= count:
+        raise ValueError(f"{path}: shape {shape_index} >= count {count}")
+    osz, ofmt = (8, "<Q") if version >= 4 else (4, "<I")
+    dict_at = len(data) - 4 - osz * count
+    (start,) = struct.unpack_from(ofmt, data, dict_at + osz * shape_index)
+    end = (struct.unpack_from(ofmt, data, dict_at + osz * (shape_index + 1))[0]
+           if shape_index + 1 < count else dict_at)
+    blob = zlib.decompress(data[start + 4:end])
+
+    pos = 0
+
+    def rd(fmt, n=1):
+        nonlocal pos
+        sz = struct.calcsize(fmt)
+        out = struct.unpack_from("<" + fmt, blob, pos)
+        pos += sz
+        return out if n > 1 or len(out) > 1 else out[0]
+
+    flags = rd("I")
+    if version >= 4:
+        while blob[pos] != 0:
+            pos += 1
+        pos += 1
+    vcount = rd("Q")
+    tcount = rd("Q")
+    fdt = np.float64 if flags & 0x2000 else np.float32
+    fsz = np.dtype(fdt).itemsize
+
+    def take(n):
+        nonlocal pos
+        a = np.frombuffer(blob, fdt, n, pos).astype(np.float32)
+        pos += n * fsz
+        return a
+
+    verts = take(vcount * 3).reshape(-1, 3)
+    normals = take(vcount * 3).reshape(-1, 3) if flags & 0x0001 else None
+    uv = take(vcount * 2).reshape(-1, 2) if flags & 0x0002 else None
+    if flags & 0x0008:                      # vertex colors ignored
+        take(vcount * 3)
+    idt = np.uint64 if vcount > 0xFFFFFFFF else np.uint32
+    idx = np.frombuffer(blob, idt, tcount * 3, pos).astype(np.int32)
+    mesh = TriMesh(verts, idx.reshape(-1, 3), normals, uv)
+    mesh.ensure_normals()
+    return mesh
+
+
 def load_mesh_file(path: str | Path) -> TriMesh:
     path = Path(path)
     ext = path.suffix.lower()
@@ -331,4 +394,6 @@ def load_mesh_file(path: str | Path) -> TriMesh:
         return load_obj(path)
     if ext == '.ply':
         return load_ply(path)
+    if ext in ('.serialized', '.mts'):
+        return load_serialized(path)
     raise ValueError(f"Unsupported mesh format: {path}")

@@ -90,6 +90,10 @@ class Scene:
             setattr(self, section + "_order", order)
 
     def resolve_path(self, filename: str) -> Path:
+        # scenes authored on Windows use backslash separators (e.g.
+        # ship.json "textures\\..."); the reference normalizes via
+        # std::filesystem — do the same here
+        filename = str(filename).replace("\\", "/")
         p = Path(filename)
         if p.is_absolute():
             return p

@@ -122,6 +122,107 @@ def _make_disk(center, normal, radius, sections) -> TriMesh:
     return _add_disk(center, normal, nx, ny, radius, sections, True)
 
 
+def _make_gauss(origin, direction, sigma, radius_scale, sections,
+                slices) -> TriMesh:
+    """MakeRadialGaussian (TriMesh.cpp:1059-1113): stacked rings following
+    a radial gaussian height profile, grounded so gauss(1) sits at z=0."""
+    sections = max(3, int(sections))
+    slices = max(2, int(slices))
+    origin = np.asarray(origin, np.float64)
+    direction = np.asarray(direction, np.float64)
+
+    def gauss(r):
+        return math.exp(-(r * r) / (2 * sigma * sigma)) / (sigma * 2 * math.pi)
+
+    defect = direction * gauss(1.0)
+    peak = origin + direction * gauss(0.0) - defect
+    normal = direction / max(np.linalg.norm(direction), 1e-20)
+    nx, ny = _tangent_frame(normal)
+
+    verts, faces = [], []
+    # bottom disk (cap filled)
+    verts.append(origin)
+    for i in range(sections):
+        x = math.cos(2 * math.pi * i / sections)
+        y = math.sin(2 * math.pi * i / sections)
+        verts.append(radius_scale * nx * x + radius_scale * ny * y + origin)
+    for i in range(sections):
+        c = i + 1
+        nc = (i + 1 if i + 1 < sections else 0) + 1
+        faces.append([0, c, nc])
+    # intermediate rings + side quads (TriMesh.cpp:1078-1094)
+    for i in range(1, slices):
+        radius = 1.0 - i / slices
+        g = gauss(radius)
+        ring_c = origin + direction * g - defect
+        for k in range(sections):
+            x = math.cos(2 * math.pi * k / sections)
+            y = math.sin(2 * math.pi * k / sections)
+            verts.append(radius_scale * radius * (nx * x + ny * y) + ring_c)
+        start = (i - 1) * sections + 1
+        for k in range(sections):
+            c = k + start
+            nc = (k + 1 if k + 1 < sections else 0) + start
+            faces.append([c, c + sections, nc])
+            faces.append([c + sections, nc + sections, nc])
+    # peak fan
+    verts.append(peak)
+    end = len(verts) - 1
+    start = (slices - 1) * sections + 1
+    for i in range(sections):
+        c = i + start
+        nc = (i + 1 if i + 1 < sections else 0) + start
+        faces.append([c, end, nc])
+    mesh = TriMesh(np.asarray(verts), np.asarray(faces, np.int32))
+    mesh.compute_vertex_normals()
+    mesh.ensure_texcoords()
+    return mesh
+
+
+def _make_gauss_lobe(origin, direction, x_axis, y_axis, cov, theta_size,
+                     phi_size, scale) -> TriMesh:
+    """MakeGaussianLobe (TriMesh.cpp:1115-1156): spherical grid displaced by
+    an anisotropic gaussian over (theta, phi) around `direction`."""
+    theta_size = max(8, int(theta_size))
+    phi_size = max(8, int(phi_size))
+    x_axis = np.asarray(x_axis, np.float64)
+    y_axis = np.asarray(y_axis, np.float64)
+    n = np.cross(x_axis, y_axis)
+    n = n / max(np.linalg.norm(n), 1e-20)
+    nx = x_axis / max(np.linalg.norm(x_axis), 1e-20)
+    ny = y_axis / max(np.linalg.norm(y_axis), 1e-20)
+    cov = np.asarray(cov, np.float64).reshape(2, 2)
+    det = abs(np.linalg.det(cov))
+    if det <= 1e-12:
+        raise ValueError("gauss_lobe covariance not positive semi-definite")
+    inv_cov = np.linalg.inv(cov)
+    norm = 1.0 / (2 * math.pi * math.sqrt(det))
+
+    d = np.asarray(direction, np.float64)
+    d = d / max(np.linalg.norm(d), 1e-20)
+    local = np.asarray([d @ nx, d @ ny, d @ n])
+    mean_theta = math.acos(min(1.0, max(-1.0, local[2])))
+    mean_phi = math.atan2(local[1], local[0])
+
+    base = _make_grid(np.zeros(3), np.float64([1, 0, 0]),
+                      np.float64([0, 1, 0]), theta_size, phi_size)
+    verts = np.asarray(base.vertices, np.float64).copy()
+    for j in range(phi_size + 1):
+        for i in range(theta_size + 1):
+            phi = 2 * math.pi * (j / phi_size) - math.pi
+            theta = math.pi * (i / theta_size)
+            a = np.asarray([theta - mean_theta, phi - mean_phi])
+            value = norm * math.exp(-0.5 * a @ inv_cov @ a)
+            st, ct = math.sin(theta), math.cos(theta)
+            u = (x_axis * (st * math.cos(phi)) + y_axis * (st * math.sin(phi))
+                 + n * ct)
+            verts[j * (theta_size + 1) + i] = \
+                u * value * scale + np.asarray(origin, np.float64)
+    mesh = TriMesh(verts, base.indices, None, base.texcoords)
+    mesh.compute_vertex_normals()
+    return mesh
+
+
 def _make_uv_sphere(center, radius, stacks, slices) -> TriMesh:
     """MakeUVSphere (TriMesh.cpp:782-837)."""
     verts, norms, uvs, faces = [], [], [], []
@@ -317,11 +418,37 @@ def build_shape(obj: dict, resolve_path) -> TriMesh:
                               _vec3(obj, "p1", [0, 0, 1]), tr,
                               int(_prop(obj, "sections", 32)),
                               bool(_prop(obj, "filled", True)))
+    elif stype == "gauss":
+        # TriMeshProvider.cpp:107-118
+        mesh = _make_gauss(
+            _vec3(obj, "origin", [0, 0, 0]),
+            np.asarray(_vec3(obj, "normal", [0, 0, 1]), np.float64)
+            * float(_prop(obj, "height", 1.0)),
+            float(_prop(obj, "sigma", 1.0)),
+            float(_prop(obj, "radius_scale", 1.0)),
+            int(_prop(obj, "sections", 32)), int(_prop(obj, "slices", 16)))
+    elif stype == "gauss_lobe":
+        # TriMeshProvider.cpp:120-138
+        st_ = float(_prop(obj, "sigma_theta", 1.0))
+        sp_ = float(_prop(obj, "sigma_phi", 1.0))
+        an_ = float(_prop(obj, "anisotropy", 0.0))
+        cov = [[st_ * st_, an_ * st_ * sp_], [an_ * st_ * sp_, sp_ * sp_]]
+        mesh = _make_gauss_lobe(
+            _vec3(obj, "origin", [0, 0, 0]),
+            _vec3(obj, "direction", [0, 0, 1]),
+            _vec3(obj, "x_axis", [1, 0, 0]), _vec3(obj, "y_axis", [0, 1, 0]),
+            cov, int(_prop(obj, "theta_size", 64)),
+            int(_prop(obj, "phi_size", 128)), float(_prop(obj, "scale", 1.0)))
     elif stype in ("external", "obj", "ply", "mitsuba", "inline"):
         fn = obj.get("filename")
         if fn is None:
             raise ValueError(f"Shape '{obj.get('name')}' needs a filename")
-        mesh = load_mesh_file(resolve_path(fn))
+        p = resolve_path(fn)
+        if stype == "mitsuba" or str(p).endswith((".serialized", ".mts")):
+            from ignis_tpu.scene.mesh import load_serialized
+            mesh = load_serialized(p, int(_prop(obj, "shape_index", 0)))
+        else:
+            mesh = load_mesh_file(p)
     else:
         raise ValueError(f"Unsupported shape type '{stype}'")
 

@@ -11,8 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from ignis_tpu.texture.loader import (
-    FILTER_BICUBIC, FILTER_BILINEAR, FILTER_NEAREST, TEX_CHECKERBOARD,
-    TEX_EXPR, TEX_IMAGE, TEX_NOISE, WRAP_CLAMP, WRAP_MIRROR, WRAP_REPEAT,
+    FILTER_BICUBIC, FILTER_BILINEAR, FILTER_NEAREST, TEX_BRICK,
+    TEX_CHECKERBOARD, TEX_EXPR, TEX_IMAGE, TEX_NOISE, WRAP_CLAMP,
+    WRAP_MIRROR, WRAP_REPEAT,
 )
 
 
@@ -92,6 +93,25 @@ def _checkerboard(scene, tables, tex, uv, ctx=None):
                      _dyn("color1", tex["color1"], True))
 
 
+def _brick(tex, uv):
+    """texture/brick.art: running-bond bricks; body -> color1, gap -> color0
+    (note step(edge=x, 1-gap): body when x <= 1-gap)."""
+    m = jnp.asarray(tex["transform"])
+    uv2 = uv @ m[:, :2].T + m[:, 2]
+    suv = uv2 * jnp.asarray(tex["scale"])
+    gx, gy = float(tex["gap"][0]), float(tex["gap"][1])
+    fy = suv[..., 1] * 0.5 - jnp.floor(suv[..., 1] * 0.5)
+    xs = jnp.where(fy > 0.5, suv[..., 0] + 0.5, suv[..., 0])
+    x = xs - jnp.floor(xs)
+    y = suv[..., 1] - jnp.floor(suv[..., 1])
+    bx = jnp.where(1.0 - gx < x, 0.0, 1.0)
+    by = jnp.where(1.0 - gy < y, 0.0, 1.0)
+    k = (bx * by)[..., None]
+    c0 = jnp.asarray(tex["color0"])
+    c1 = jnp.asarray(tex["color1"])
+    return c0 * (1.0 - k) + c1 * k
+
+
 def _hash2(ix, iy, seed):
     h = (ix * jnp.uint32(0x85EBCA6B)) ^ (iy * jnp.uint32(0xC2B2AE35)) ^ jnp.uint32(seed)
     h = h ^ (h >> 13)
@@ -150,6 +170,8 @@ def eval_one(scene, tables, tex, uv, ctx=None):
         return _checkerboard(scene, tables, tex, uv, ctx)
     if t == TEX_NOISE:
         return _noise(tex, uv)
+    if t == TEX_BRICK:
+        return _brick(tex, uv)
     if t == TEX_EXPR:
         from ignis_tpu.texture.pexpr import eval_pexpr_color
         return eval_pexpr_color(scene, tables, tex["expr"], uv, ctx)

@@ -155,6 +155,18 @@ def compile_textures(scene) -> tuple[list, dict]:
                 scale_x_ref=sx_ref, scale_y_ref=sy_ref,
                 scale=np.asarray([sx, sy], np.float32),
                 transform=t34[:2, (0, 1, 3)].astype(np.float32)))
+        elif ttype == "brick":
+            # BrickPattern.cpp:17-33 defaults; texture/brick.art semantics
+            t34 = parse_transform(obj.get("transform")) if "transform" in obj else np.eye(4)
+            c0, _ = _c3(obj.get("color0", [0, 0, 0]))
+            c1, _ = _c3(obj.get("color1", [1, 1, 1]))
+            textures.append(dict(
+                type=TEX_BRICK, name=name, color0=c0, color1=c1,
+                scale=np.asarray([float(obj.get("scale_x", 3.0)),
+                                  float(obj.get("scale_y", 6.0))], np.float32),
+                gap=np.asarray([float(obj.get("gap_x", 0.05)),
+                                float(obj.get("gap_y", 0.1))], np.float32),
+                transform=t34[:2, (0, 1, 3)].astype(np.float32)))
         elif ttype in ("noise", "cellnoise", "fbm", "perlin", "pnoise",
                        "voronoi"):
             c, _ = _c3(obj.get("color", [1, 1, 1]))

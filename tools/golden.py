@@ -20,6 +20,10 @@ Per-scene tolerances below; scenes whose renderer disagrees with OUR
 estimator for documented reasons carry wider bounds or a note.
 """
 
+import sys
+from pathlib import Path as _P
+sys.path.insert(0, str(_P(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import sys
