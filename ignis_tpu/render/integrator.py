@@ -330,7 +330,23 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
         voldepth = st["voldepth"]
         max_scat = max([m.get("max_scattering", 8)
                         for m in scene.media] + [8])
-        allow_medium = voldepth + 1 <= max_scat
+        # Pure-absorption homogeneous media (glTF KHR_materials_volume
+        # attenuation): deterministic closed-form transmittance (hitvol)
+        # instead of absorb-event sampling — identical in expectation,
+        # cheaper, and pathwise-differentiable w.r.t. sigma_a (the
+        # DragonAttenuation inverse-rendering path).
+        absorb_only = [m["type"] in ("homogeneous", "constant")
+                       and not m.get("sigma_s_expr")
+                       and not m.get("sigma_a_expr")
+                       and float(np.asarray(
+                           scene.tables["medium_data"][mi, 3:6]).max()) == 0.0
+                       for mi, m in enumerate(scene.media)]
+        if any(absorb_only):
+            ao_mask = jnp.asarray(absorb_only)[jnp.maximum(med, 0)] \
+                & (med >= 0)
+        else:
+            ao_mask = jnp.zeros((n,), bool)
+        allow_medium = (voldepth + 1 <= max_scat) & ~ao_mask
         ms, counter = medium_sample(scene, tables, med, m_sa, m_ss, seed,
                                     counter, org, surf["point"],
                                     can_bounce & allow_medium)

@@ -69,6 +69,7 @@ class Scene:
 
     def __init__(self, data: dict, base_dir: Path):
         self.base_dir = Path(base_dir)
+        self.data = data
         self.technique: dict = data.get("technique") or {"type": "path"}
         self.camera: dict = data.get("camera") or {"type": "perspective"}
         self.film: dict = data.get("film") or {}
@@ -115,6 +116,17 @@ def load_scene_dict(data: dict, base_dir: str | os.PathLike = ".") -> Scene:
                 if name not in table:
                     table[name] = obj
                     order.append(name)
+        # scalar sections also merge first-wins (Parser.cpp handles
+        # externals by pre-populating the scene; the cbox-d* evaluation
+        # scenes define camera/film only in cbox-base.json)
+        if "camera" not in data and "camera" in (child.data or {}):
+            scene.camera = child.camera
+        if "film" not in data and "film" in (child.data or {}):
+            scene.film = child.film
+        if "technique" not in data and "technique" in (child.data or {}):
+            scene.technique = child.technique
+        if "parameters" not in data and child.parameters:
+            scene.parameters = child.parameters
     return scene
 
 
