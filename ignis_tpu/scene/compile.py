@@ -970,7 +970,16 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             ent = ent_index.get(lobj.get("entity", ""))
             if ent is None:
                 raise SceneError(f"Area light '{lname}' references unknown entity")
-            rad, _tex = _color(lobj.get("radiance"), (1, 1, 1))
+            o_, c_ = int(ent_tri_offset[ent]), int(ent_tri_count[ent])
+            ent_area = float(0.5 * np.linalg.norm(
+                np.cross(tri_e1[o_:o_ + c_], tri_e2[o_:o_ + c_]),
+                axis=-1).sum()) if c_ else 1.0
+            if "power" in lobj:
+                # AreaLight.cpp:101-105: radiance = power / (pi * area)
+                pw, _tex = _color(lobj.get("power"), (1, 1, 1))
+                rad = pw / max(math.pi * ent_area, 1e-9)
+            else:
+                rad, _tex = _color(lobj.get("radiance"), (1, 1, 1))
             scale, _ = _color(lobj.get("scale"), (1, 1, 1))
             rad = rad * scale
             ent_light[ent] = lid
@@ -1018,11 +1027,17 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             pos, _ = _color(lobj.get("position"), (0, 0, 0))
             d, _ = _color(lobj.get("direction"), (0, 0, 1))
             nd = np.asarray(d) / max(np.linalg.norm(d), 1e-20)
-            inten, _ = _color(lobj.get("intensity"), (1, 1, 1))
             cutoff_v, _ = _number(lobj.get("cutoff"), 30.0)
             falloff_v, _ = _number(lobj.get("falloff"), 20.0)
             cutoff = cutoff_v * DEG2RAD
             falloff = falloff_v * DEG2RAD
+            if "power" in lobj:
+                # SpotLight.cpp:17-27: intensity = power / (2pi(1 - (cosC+cosF)/2))
+                pw, _ = _color(lobj.get("power"), (1, 1, 1))
+                inten = pw / max(2.0 * math.pi * (
+                    1.0 - 0.5 * (math.cos(cutoff) + math.cos(falloff))), 1e-9)
+            else:
+                inten, _ = _color(lobj.get("intensity"), (1, 1, 1))
             lights.append(LightInfo(LIGHT_SPOT, lname, False, True, draws=0))
             light_f.append(lrow(pos, nd, inten,
                                 [math.cos(cutoff), math.cos(falloff)]))

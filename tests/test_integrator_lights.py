@@ -81,3 +81,40 @@ def test_env_light_nee_two_sided():
         {"type": "env", "name": "_light", "radiance": [1, 1, 1]})
     value = compute_scene_average(scene, spp=24, size=96)
     assert value == pytest.approx(2, rel=2e-2)
+
+
+def test_two_sided_diffuse_constant_env_furnace():
+    """Ignis's diffuse is two-sided (diffuse.art:1-11, absolute_cos): under
+    a constant env a thin sheet is lit from BOTH sides via NEE (below-horizon
+    directions are only reachable by light sampling, so their MIS weight is
+    1 and the converged sheet radiance is ~2*rho*L), while pure BSDF
+    sampling covers the upper hemisphere only (rho*L exactly)."""
+    import json
+
+    import numpy as np
+
+    from ignis_tpu.api import load_scene
+    base = {
+        "technique": {"type": "path", "max_depth": 3},
+        "camera": {"type": "perspective", "fov": 40,
+                   "transform": [1, 0, 0, 0, 0, 0, 1, -5,
+                                 0, -1, 0, 0, 0, 0, 0, 1]},
+        "film": {"size": [24, 24]},
+        "bsdfs": [{"type": "diffuse", "name": "m", "reflectance": 0.8}],
+        "shapes": [{"type": "rectangle", "name": "p", "width": 60,
+                    "height": 60, "transform": [{"rotate": [-90, 0, 0]}]}],
+        "entities": [{"name": "p", "shape": "p", "bsdf": "m"}],
+        "lights": [{"type": "constant", "name": "sky", "radiance": 1}],
+    }
+    vals = {}
+    for nee in (False, True):
+        sc = json.loads(json.dumps(base))
+        sc["technique"]["nee"] = nee
+        rt = load_scene(json.dumps(sc))
+        for _ in range(24):
+            rt.step(spi=4)
+        img = np.asarray(rt.currentFrame())
+        vals[nee] = float(img[8:16, 8:16, 0].mean())
+    assert vals[False] == pytest.approx(0.8, rel=0.02)
+    # two-sided sheet: top reflection (0.8) + back-lit transmission (~0.8)
+    assert vals[True] == pytest.approx(1.6, rel=0.05)
