@@ -391,9 +391,26 @@ def load_mesh_file(path: str | Path) -> TriMesh:
     path = Path(path)
     ext = path.suffix.lower()
     if ext == '.obj':
-        return load_obj(path)
-    if ext == '.ply':
-        return load_ply(path)
-    if ext in ('.serialized', '.mts'):
-        return load_serialized(path)
-    raise ValueError(f"Unsupported mesh format: {path}")
+        loader = load_obj
+    elif ext == '.ply':
+        loader = load_ply
+    elif ext in ('.serialized', '.mts'):
+        loader = load_serialized
+    else:
+        raise ValueError(f"Unsupported mesh format: {path}")
+
+    # on-disk cache of the converted mesh (CacheManager.h:7-33 analog)
+    from ignis_tpu.utils.cache import cached_arrays
+
+    def build(p):
+        m = loader(p)
+        out = dict(vertices=m.vertices, indices=m.indices)
+        if m.normals is not None:
+            out["normals"] = m.normals
+        if m.texcoords is not None:
+            out["texcoords"] = m.texcoords
+        return out
+
+    d = cached_arrays(path, "mesh", build)
+    return TriMesh(d["vertices"], d["indices"], d.get("normals"),
+                   d.get("texcoords"))
