@@ -53,6 +53,12 @@ class Runtime:
         _t_load = _time.perf_counter()
         self.scene: CompiledScene = load_and_compile(source, width, height)
         _t_load = _time.perf_counter() - _t_load
+        from ignis_tpu.utils.log import logger
+        logger.info("Loaded scene: %dx%d, %d tris, %d materials, %d lights "
+                    "(%.2fs)", self.scene.width, self.scene.height,
+                    self.scene.tables["tri_v0"].shape[0],
+                    len(self.scene.material_names),
+                    self.scene.num_lights, _t_load)
         tables = self.scene.tables
         ntris = tables["tri_v0"].shape[0]
         if use_bvh is None:

@@ -27,6 +27,10 @@ def build_parser():
     p.add_argument("--height", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="debug-level logging")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--log-file", default=None)
     p.add_argument("--stats", action="store_true",
                    help="dump per-stage statistics after rendering")
     p.add_argument("-P", "--parameter", action="append", default=[],
@@ -42,6 +46,12 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ignis_tpu.utils.log import logger
+    if args.verbose:
+        logger.set_verbosity("debug")
+    logger.set_quiet(args.quiet)
+    if args.log_file:
+        logger.add_file_listener(args.log_file)
     from ignis_tpu.api import Runtime
 
     rt = Runtime(args.scene, width=args.width, height=args.height,
