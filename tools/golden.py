@@ -58,13 +58,6 @@ TOLERANCES = {
     # compare spatial structure (relmse on normalized images would pass);
     # bound kept wide enough to track gross regressions only.
     "env": dict(rel_mean=1.4, relmse=0.3),
-    # Ignis's diffuse BSDF is two-sided (diffuse.art:1-11 absolute_cos):
-    # under NEE a thin diffuse sheet is also lit from behind (e.g. by a
-    # constant env), which Mitsuba's one-sided diffuse does not do.  We
-    # match the REFERENCE semantics; scenes where below-horizon light
-    # reaches thin sheets carry the deviation (~+12% here).
-    "multilight": dict(rel_mean=0.18, relmse=0.3),
-    "cbox-d6": dict(rel_mean=0.2, relmse=0.3),
     # cycles punctual-light unit conventions (Blender Watts) differ from
     # LoaderLight's power formulas (PointLight.cpp:19, SpotLight.cpp:17-27,
     # AreaLight.cpp:101) by ~pi/2 per light type; we implement the
