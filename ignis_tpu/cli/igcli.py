@@ -31,6 +31,9 @@ def build_parser():
                    help="debug-level logging")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--log-file", default=None)
+    p.add_argument("--denoise", action="store_true",
+                   help="apply the edge-avoiding a-trous denoiser "
+                        "(infobuffer-guided) before saving")
     p.add_argument("--stats", action="store_true",
                    help="dump per-stage statistics after rendering")
     p.add_argument("-P", "--parameter", action="append", default=[],
@@ -77,6 +80,9 @@ def main(argv=None):
             break
 
     img = rt.currentFrame()
+    if args.denoise:
+        from ignis_tpu.render.denoise import denoise_runtime
+        img = denoise_runtime(rt)
     from ignis_tpu.utils.exr import write_exr
     write_exr(args.output, img)
 

@@ -8,7 +8,10 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
-jax.config.update("jax_platforms", "cpu")
+# IGNIS_TPU_TEST_TPU=1 leaves the real backend visible for @pytest.mark.tpu
+# hardware tests; everything else pins the (virtual 8-device) CPU backend.
+if not os.environ.get("IGNIS_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -100,3 +100,37 @@ def test_visibility_mask_respected():
                                           mask_bit=0x8, interpret=True)
     assert int(np.asarray(p_sh)[0]) == 0
     np.testing.assert_allclose(np.asarray(t_sh)[0], 1.0, rtol=1e-6)
+
+
+@pytest.mark.tpu
+def test_packet_bvh_on_tpu_hardware():
+    """Mosaic-compiled kernel (interpret=False) vs the brute oracle on the
+    real chip — the rest of this file runs in interpret mode on CPU.
+
+    Run with: IGNIS_TPU_TEST_TPU=1 python -m pytest -m tpu tests/test_pallas_bvh.py
+    (the default suite pins the CPU backend via conftest)."""
+    import os
+
+    import jax
+    if not os.environ.get("IGNIS_TPU_TEST_TPU"):
+        pytest.skip("TPU hardware test (set IGNIS_TPU_TEST_TPU=1)")
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend")
+    v0, e1, e2 = _random_soup(6000, seed=3)
+    pb = _tables(v0, e1, e2)
+    tables = {k: jnp.asarray(v) for k, v in pb.items()}
+    tables.update(tri_v0=jnp.asarray(v0), tri_e1=jnp.asarray(e1),
+                  tri_e2=jnp.asarray(e2))
+    org, d = _random_rays(2048, seed=4)
+    tmin = jnp.zeros(org.shape[0], jnp.float32)
+    tmax = jnp.full(org.shape[0], 1e30, jnp.float32)
+    t, prim, u, v = packet_bvh_closest(
+        tables, jnp.asarray(org), jnp.asarray(d), tmin, tmax)
+    bt, bprim, bu, bv = intersect_closest(
+        jnp.asarray(org), jnp.asarray(d), tmin, tmax,
+        tables["tri_v0"], tables["tri_e1"], tables["tri_e2"])
+    hit = np.asarray(bprim) >= 0
+    assert (np.asarray(prim) >= 0).sum() == hit.sum()
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(bprim))
+    np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(bt)[hit],
+                               rtol=1e-5)
