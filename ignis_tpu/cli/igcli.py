@@ -31,6 +31,9 @@ def build_parser():
                    help="debug-level logging")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--log-file", default=None)
+    p.add_argument("--aov", action="store_true",
+                   help="also write Normals/Albedo/Depth AOV EXRs "
+                        "(infobuffer technique outputs)")
     p.add_argument("--denoise", action="store_true",
                    help="apply the edge-avoiding a-trous denoiser "
                         "(infobuffer-guided) before saving")
@@ -80,6 +83,23 @@ def main(argv=None):
             break
 
     img = rt.currentFrame()
+    if args.aov:
+        import jax.numpy as jnp
+
+        from ignis_tpu.render.techniques import infobuffer_aovs
+        from ignis_tpu.utils.exr import write_exr as _wexr
+        wpx, hpx = rt.width, rt.height
+        idx = np.arange(wpx * hpx, dtype=np.int32)
+        aovs = infobuffer_aovs(rt.scene, rt.tables,
+                               jnp.asarray(idx % wpx), jnp.asarray(idx // wpx),
+                               jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+                               rt.seed)
+        stem = args.output.rsplit(".", 1)[0]
+        for name, arr in aovs.items():
+            a = np.asarray(arr)
+            if a.ndim == 1:
+                a = np.repeat(a[:, None], 3, axis=1)
+            _wexr(f"{stem}_{name.lower()}.exr", a.reshape(hpx, wpx, 3))
     if args.denoise:
         from ignis_tpu.render.denoise import denoise_runtime
         img = denoise_runtime(rt)
