@@ -77,6 +77,33 @@ def main():
         "compile_fwd_s": round(t_compile_fwd, 1),
     }), flush=True)
 
+    # ---- packet-BVH big-scene forward (the Pallas kernel's driver-captured
+    # number; brute force does not even compile at this scale — TRAVBENCH)
+    big_msps = None
+    try:
+        from _big_bench import make_scene
+        from ignis_tpu.api import Runtime
+        rt_big = Runtime(make_scene(25, 4), width=512, height=512)
+        ntris_big = int(rt_big.tables["tri_v0"].shape[0])
+        rt_big.step(spi=1)
+        jax.block_until_ready(rt_big._accum)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            rt_big.step(spi=1)
+        jax.block_until_ready(rt_big._accum)
+        dt_big = time.perf_counter() - t0
+        big_msps = 512 * 512 * 3 / dt_big / 1e6
+        print(json.dumps({
+            "metric": f"packet-BVH {ntris_big}-tri scene (fwd)",
+            "value": round(big_msps, 4),
+            "unit": "Msamples/s",
+            "vs_baseline": round(big_msps / BASELINE_MSPS, 4),
+        }), flush=True)
+        del rt_big
+    except Exception as e:  # noqa: BLE001 — bench must still record fwd+bwd
+        print(json.dumps({"metric": "packet-BVH big scene", "error": str(e)[:200]}),
+              flush=True)
+
     # ---- forward+backward throughput (path-replay scan, grads w.r.t.
     # material colors) — the BASELINE.json headline metric
     from ignis_tpu.render.integrator import trace_wave
@@ -113,6 +140,7 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round(fwdbwd_msps / BASELINE_MSPS, 4),
         "fwd_msps": round(fwd_msps, 4),
+        "bigscene_fwd_msps": round(big_msps, 4) if big_msps else None,
         "finite": ok,
         "grad_finite": grad_ok,
         "load_s": round(t_load, 1),

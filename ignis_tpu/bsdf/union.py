@@ -113,7 +113,13 @@ def _diffuse_eval(colors, scalars, surf, in_dir, out_dir):
     kd = colors[:, 0]
     alpha = scalars[:, 0]
     n = surf["n"]
-    hemi = (jnp.sum(in_dir * n, axis=-1) > 0.0)[..., None]
+    # Clamp against the GEOMETRIC normal (falls back to the shading normal
+    # for synthetic surfs): bump/normal-mapped shading normals may put a
+    # valid light direction below the shading horizon (terminator case,
+    # keep |cos| weighting there), but light arriving from behind the
+    # actual surface cannot reflect.
+    ngc = surf.get("ng", n)
+    hemi = (jnp.sum(in_dir * ngc, axis=-1) > 0.0)[..., None]
     lam = mulf(kd, absolute_cos(in_dir, n) * INV_PI)
     # Oren-Nayar (diffuse.art:15-39) when alpha > 0
     a2 = alpha * alpha
