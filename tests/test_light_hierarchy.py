@@ -34,9 +34,9 @@ def _grid_light_scene(selector, nl=16):
                       "light_selector": selector},
         "camera": {"type": "perspective", "fov": 60,
                    "transform": [1, 0, 0, 0,
-                                 0, 0, 1, -3.5,
-                                 0, -1, 0, 0,
-                                 0, 0, 0, 1]},  # looking down at the floor
+                                 0, 0, -1, 3.5,
+                                 0, 1, 0, 0,
+                                 0, 0, 0, 1]},  # above, looking down
         "film": {"size": [32, 32]},
         "bsdfs": [{"type": "diffuse", "name": "w",
                    "reflectance": [0.8, 0.8, 0.8]}],
