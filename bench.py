@@ -44,6 +44,38 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # ---- packet-BVH big-scene forward (the Pallas kernel's driver-captured
+    # number; brute force does not even compile at this scale — TRAVBENCH).
+    # Runs in a SUBPROCESS, and FIRST — the TPU is single-tenant, so the
+    # child must own the device before this process attaches it.  (Sharing
+    # a process with the diamond programs was measured to produce a
+    # ~700x-slower executable for this scene — same jaxpr, same idle
+    # host; a fresh process reproducibly measures 370-530 Msamples/s,
+    # matching TRAVBENCH.json.)
+    big_msps = None
+    try:
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, "_big_bench.py", "bvh"],
+            capture_output=True, text=True, timeout=600,
+            cwd=str(Path(__file__).parent))
+        for line in r.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                rec = json.loads(line)
+                big_msps = rec.get("msps")
+                print(json.dumps({
+                    "metric": f"packet-BVH {rec.get('ntris')}-tri scene (fwd)",
+                    "value": round(big_msps, 4),
+                    "unit": "Msamples/s",
+                    "vs_baseline": round(big_msps / BASELINE_MSPS, 4),
+                }), flush=True)
+                break
+    except Exception as e:  # noqa: BLE001 — bench must still record fwd+bwd
+        print(json.dumps({"metric": "packet-BVH big scene", "error": str(e)[:200]}),
+              flush=True)
+
+
     size = 512
     spi = 1
     rt = _load_depth6(size)
@@ -76,33 +108,6 @@ def main():
         "load_s": round(t_load, 1),
         "compile_fwd_s": round(t_compile_fwd, 1),
     }), flush=True)
-
-    # ---- packet-BVH big-scene forward (the Pallas kernel's driver-captured
-    # number; brute force does not even compile at this scale — TRAVBENCH)
-    big_msps = None
-    try:
-        from _big_bench import make_scene
-        from ignis_tpu.api import Runtime
-        rt_big = Runtime(make_scene(25, 4), width=512, height=512)
-        ntris_big = int(rt_big.tables["tri_v0"].shape[0])
-        rt_big.step(spi=1)
-        jax.block_until_ready(rt_big._accum)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            rt_big.step(spi=1)
-        jax.block_until_ready(rt_big._accum)
-        dt_big = time.perf_counter() - t0
-        big_msps = 512 * 512 * 3 / dt_big / 1e6
-        print(json.dumps({
-            "metric": f"packet-BVH {ntris_big}-tri scene (fwd)",
-            "value": round(big_msps, 4),
-            "unit": "Msamples/s",
-            "vs_baseline": round(big_msps / BASELINE_MSPS, 4),
-        }), flush=True)
-        del rt_big
-    except Exception as e:  # noqa: BLE001 — bench must still record fwd+bwd
-        print(json.dumps({"metric": "packet-BVH big scene", "error": str(e)[:200]}),
-              flush=True)
 
     # ---- forward+backward throughput (path-replay scan, grads w.r.t.
     # material colors) — the BASELINE.json headline metric
