@@ -199,6 +199,34 @@ class Runtime:
         self.stats.add("CameraRayCount", npix * spi)
         self.stats.add("Iterations", 1)
 
+    # -------------------------------------------------------- checkpointing
+    def saveCheckpoint(self, path):
+        """Persist the render state (SURVEY §5.4: the reference's
+        progressive accumulation + asset cache generalized to a real
+        checkpoint): framebuffer sum, sample/iteration/frame counters and
+        seed.  Resuming and stepping produces bitwise-identical images to
+        an uninterrupted run (the RNG is keyed on (sample, iteration,
+        frame, x, y, seed), so no generator state needs saving)."""
+        np.savez_compressed(
+            path, accum=np.asarray(self._accum),
+            samples=self._samples, iteration=self.iteration,
+            frame=self.frame, seed=self.seed,
+            width=self.scene.width, height=self.scene.height)
+
+    def loadCheckpoint(self, path):
+        with np.load(path) as z:
+            if (int(z["width"]) != self.scene.width
+                    or int(z["height"]) != self.scene.height):
+                raise ValueError(
+                    f"checkpoint film {int(z['width'])}x{int(z['height'])} "
+                    f"does not match runtime "
+                    f"{self.scene.width}x{self.scene.height}")
+            self._accum = jnp.asarray(z["accum"])
+            self._samples = int(z["samples"])
+            self.iteration = int(z["iteration"])
+            self.frame = int(z["frame"])
+            self.seed = int(z["seed"])
+
     def dumpStats(self) -> str:
         """Statistics::dump analog (Statistics.cpp:151-228) + wavefront
         occupancy quantities from the device counters."""

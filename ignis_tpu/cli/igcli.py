@@ -31,6 +31,9 @@ def build_parser():
                    help="debug-level logging")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--log-file", default=None)
+    p.add_argument("--checkpoint", default=None, metavar="FILE",
+                   help="resume from FILE if it exists; save state there "
+                        "after rendering (progressive across invocations)")
     p.add_argument("--aov", action="store_true",
                    help="also write Normals/Albedo/Depth AOV EXRs "
                         "(infobuffer technique outputs)")
@@ -66,6 +69,12 @@ def main(argv=None):
         name, _, val = pv.partition("=")
         vals = [float(x) for x in val.split(",")]
         rt.setParameter(name, vals[0] if len(vals) == 1 else vals)
+    if args.checkpoint:
+        import os as _os
+        if _os.path.exists(args.checkpoint):
+            rt.loadCheckpoint(args.checkpoint)
+            print(f"Resumed at {rt.currentSampleCount()} spp from "
+                  f"{args.checkpoint}")
     spp = args.spp if args.spp is not None else (8 if args.timeout is None else 1 << 30)
     deadline = time.perf_counter() + args.timeout if args.timeout else None
 
@@ -83,6 +92,8 @@ def main(argv=None):
             break
 
     img = rt.currentFrame()
+    if args.checkpoint:
+        rt.saveCheckpoint(args.checkpoint)
     if args.aov:
         import jax.numpy as jnp
 
