@@ -323,6 +323,28 @@ class Runtime:
         return np.asarray(self._accum).reshape(h, w, 3)
 
     # ------------------------------------------------------------------ glare
+    def tonemap(self, method="aces", scale=1.0, exposure_factor=1.0,
+                offset=0.0, gamma=True):
+        """Runtime::tonemap (Runtime.cpp:628 → ig_tonemap_shader):
+        returns the tonemapped current frame as (H, W, 3) float in [0,1]."""
+        from ignis_tpu.render.tonemap import tonemap as _tm
+        methods = {"none": 0, "reinhard": 1, "modified": 2, "aces": 3,
+                   "uncharted2": 4}
+        m = methods[method] if isinstance(method, str) else int(method)
+        out = np.asarray(_tm(self.currentFrame(), method=m, scale=scale,
+                             exposure_factor=exposure_factor,
+                             exposure_offset=offset, use_gamma=gamma))
+        return np.clip(out, 0.0, 1.0)
+
+    def imageinfo(self, scale=1.0, bins=64, histogram=False,
+                  percentile=False):
+        """Runtime::imageinfo (Runtime.cpp → ig_imageinfo_shader):
+        min/max/avg luminance, NaN/Inf counts (+ optional histogram and
+        soft percentiles) of the current frame."""
+        from ignis_tpu.render.tonemap import image_info
+        return image_info(self.currentFrame(), scale=scale, bins=bins,
+                          histogram=histogram, percentile=percentile)
+
     def evaluateGlare(self, settings=None, **kw):
         """DGP glare analysis of the current frame (Runtime.cpp:640-652).
 

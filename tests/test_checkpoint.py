@@ -51,3 +51,21 @@ def test_checkpoint_size_mismatch(tmp_path):
     rt2 = load_scene(json.dumps(other))
     with pytest.raises(ValueError):
         rt2.loadCheckpoint(tmp_path / "ck.npz")
+
+
+def test_tonemap_imageinfo_api(tmp_path):
+    """Runtime.tonemap / Runtime.imageinfo (Runtime.h surface parity)."""
+    from ignis_tpu.api import load_scene
+    rt = load_scene(json.dumps(SCENE))
+    rt.step(spi=2)
+    tm = rt.tonemap("aces")
+    assert tm.shape == (16, 16, 3)
+    assert tm.min() >= 0.0 and tm.max() <= 1.0
+    linear = rt.tonemap("none", gamma=False)
+    assert np.allclose(linear[linear < 1.0],
+                       np.asarray(rt.currentFrame())[linear < 1.0],
+                       atol=1e-5)
+    info = rt.imageinfo(histogram=True, percentile=True)
+    assert info["max"] >= info["avg"] >= info["min"] >= 0
+    assert info["nan_count"] == 0 and info["inf_count"] == 0
+    assert "histogram" in info and "soft_max" in info
