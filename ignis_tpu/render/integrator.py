@@ -81,7 +81,17 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
     `tri_mask` is the per-triangle visibility array for the XLA/brute paths;
     `mask_bit` the equivalent ray-class bit (MASK_CAMERA/BOUNCE/SHADOW) for
     the packet kernel, whose leaves carry packed visibility bits.
+
+    Traversal is DETACHED (path-replay backprop, SURVEY.md §7.1): hit
+    results (t, u, v, prim) are piecewise-constant in the differentiable
+    parameter set (BSDF/texture/light/medium values — geometry and
+    visibility are out of scope), so reverse AD must not trace through
+    intersection.  stop_gradient on the ray inputs cuts the tape here,
+    which (a) zeroes the sample-placement term exactly as the detached
+    path-replay estimator prescribes and (b) lets the differentiable path
+    share the Pallas kernels (no pallas_call transpose rule needed).
     """
+    org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     if _use_pallas(org) and "pb_nodes" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, packet_bvh_closest
         return packet_bvh_closest(tables, org, d, tmin, tmax,
@@ -102,6 +112,9 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
 
 def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
                   mask_bit=None):
+    """Any-hit dispatch; detached like `_traverse_closest` (occlusion is a
+    visibility discontinuity — zero derivative almost everywhere)."""
+    org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     if _use_pallas(org) and "pb_nodes" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_SHADOW, packet_bvh_any
         return packet_bvh_any(tables, org, d, tmin, tmax,
