@@ -104,6 +104,52 @@ def main():
                           "mean": float(jnp.mean(out))}), flush=True)
         return
 
+    if mode == "surf":
+        # _surface_at (12 per-lane gathers + surface math) at n=2^16
+        from ignis_tpu.render.integrator import _surface_at
+        n = 1 << 16
+        rng = np.random.default_rng(0)
+        prim = jnp.asarray(rng.integers(
+            0, int(tables["tri_v0"].shape[0]), n).astype(np.int32))
+        org = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+        d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+        d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+        t = jnp.ones((n,), jnp.float32)
+        u = jnp.full((n,), 0.3, jnp.float32)
+        v = jnp.full((n,), 0.3, jnp.float32)
+        f = jax.jit(lambda p: _surface_at(tables, p, org, d, t, u, v))
+        out = f(prim)
+        jax.block_until_ready(out)
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(prim)
+            _ = float(jnp.sum(out["point"][0]))
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({"mode": mode, "mlanes_s": round(n / dt / 1e6, 3),
+                          "ms": round(dt * 1e3, 3)}), flush=True)
+        return
+
+    if mode == "ga":
+        # a single (n,) gather from a (T,3) table — the primitive cost
+        n = 1 << 16
+        rng = np.random.default_rng(0)
+        prim = jnp.asarray(rng.integers(
+            0, int(tables["tri_v0"].shape[0]), n).astype(np.int32))
+        tv = tables["tri_v0"]
+        f = jax.jit(lambda p: tv[p])
+        out = f(prim)
+        jax.block_until_ready(out)
+        reps = 20
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = f(prim)
+            _ = float(jnp.sum(out[0]))
+        dt = (time.perf_counter() - t0) / reps
+        print(json.dumps({"mode": mode, "mlanes_s": round(n / dt / 1e6, 3),
+                          "us": round(dt * 1e6, 1)}), flush=True)
+        return
+
     if mode.startswith("pb"):
         # packet-BVH closest on the diamond soup (force-build pb tables)
         from ignis_tpu.ops.bvh import build_bvh

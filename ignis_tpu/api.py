@@ -44,6 +44,9 @@ if _os.environ.get("IGNIS_TPU_PLATFORM"):
 _BVH_MIN_TRIS = 8192
 # Packet-BVH engagement threshold for the Pallas TPU kernel (ops/pallas_bvh).
 _PB_MIN_TRIS = 4096
+# Largest soup that gets Baldwin-Weber brute tables (ops/bw_intersect);
+# the (T, 128) row table costs 512 B/tri of VMEM.
+_BW_MAX_TRIS = 16384
 
 
 class Runtime:
@@ -85,6 +88,16 @@ class Runtime:
                 if packet_tables_fit(pb):
                     tables = dict(tables)
                     tables.update(pb)
+            if ntris <= _BW_MAX_TRIS:
+                # Baldwin-Weber brute tables (ops/bw_intersect): the TPU
+                # sweep for soups below the packet threshold ((T,128) f32
+                # row table, so capped to keep VMEM bounded).
+                from ignis_tpu.ops.bw_intersect import bw_tables
+                ent_flags = np.asarray(tables["ent_flags"])
+                tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
+                tables = dict(tables)
+                tables.update(bw_tables(tables["tri_v0"], tables["tri_e1"],
+                                        tables["tri_e2"], tri_flags))
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.seed = int(seed)
         self.iteration = 0

@@ -100,6 +100,12 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
     if "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_closest
         return bvh_closest(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    if _use_pallas(org) and "bw_tris" in tables:
+        from ignis_tpu.ops.bw_intersect import bw_closest
+        from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE
+        return bw_closest(tables, org, d, tmin, tmax,
+                          mask_bit=(MASK_BOUNCE if mask_bit is None
+                                    else mask_bit))
     if _use_pallas(org):
         from ignis_tpu.ops.pallas_intersect import pallas_intersect_closest
         return pallas_intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
@@ -123,6 +129,12 @@ def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
     if "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_any
         return bvh_any(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    if _use_pallas(org) and "bw_tris" in tables:
+        from ignis_tpu.ops.bw_intersect import bw_any
+        from ignis_tpu.ops.pallas_bvh import MASK_SHADOW
+        return bw_any(tables, org, d, tmin, tmax,
+                      mask_bit=(MASK_SHADOW if mask_bit is None
+                                else mask_bit))
     if _use_pallas(org):
         from ignis_tpu.ops.pallas_intersect import pallas_intersect_any
         return pallas_intersect_any(org, d, tmin, tmax, tables["tri_v0"],

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import re
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -384,6 +385,17 @@ class Evaluator:
         tex_id = self._tex_id(name)
         if tex_id is not None and len(args) == 1 and args[0][0] == "vec2":
             return self._sample_tex(tex_id, args[0])
+        if name == "check_ray_flag":
+            # Transpiler.cpp:78-101 → check_ray_visibility(ctx.ray, flag).
+            # Lane ray flags ride in ctx["ray_flags"]; contexts that never
+            # set them are primary-shading contexts (camera rays).
+            bit = {"camera": 1, "light": 2, "bounce": 4, "shadow": 8}.get(
+                str(args[0][1]).lower() if args[0][0] == "str" else "", 0)
+            rf = self.ctx.get("ray_flags")
+            if rf is None:
+                n = self.ctx["uv"].shape[0]
+                rf = jnp.full((n,), 1, jnp.int32)
+            return ("bool", (rf & bit) != 0)
         f = _FUNCTIONS.get(name)
         if f is None:
             raise PExprError(f"Unknown PExpr function '{name}'")
@@ -490,6 +502,281 @@ def _luminance(args):
     return ("num", a[..., 0] * 0.2126 + a[..., 1] * 0.7152 + a[..., 2] * 0.0722)
 
 
+def _blackbody(args):
+    """math.art blackbody: sRGB/D65 fit, valid [1000, 20000] K."""
+    t2 = jnp.clip(_as_num(args[0])[1], 1000.0, 20000.0)
+    # low segment [1000, 6500]
+    tl = (t2 - 1000.0) / 5500.0
+    r_l = jnp.exp(-6.43983699 * tl + 0.75651596) + (
+        (0.79760204 * tl - 2.04782763) * tl + 2.33744911)
+    b_l = jnp.maximum(0.0, jnp.exp(0.24888616 * tl + 1.39095510) - 4.17216437)
+    g_l = (1.0 - r_l * 0.2126 - b_l * 0.0722) / 0.7152
+    # high segment [6500, 20000]
+    th = (t2 - 6500.0) / 13500.0
+    r_h = jnp.exp(-5.08603402 * th - 1.68935495) + (
+        (0.07954146 * th - 0.23566459) * th + 0.85280697)
+    b_h = ((th - 2.25659290) * th + 2.11298599) * th + 1.02683036
+    g_h = (1.0 - r_h * 0.2126 - b_h * 0.0722) / 0.7152
+    lo = t2 <= 6500.0
+    rgb = jnp.stack([jnp.where(lo, r_l, r_h), jnp.where(lo, g_l, g_h),
+                     jnp.where(lo, b_l, b_h)], axis=-1)
+    a = jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)
+    return ("vec4", jnp.concatenate([jnp.maximum(rgb, 0.0), a], axis=-1))
+
+
+def _rgb_to_hsv(c):
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    e = 1e-10
+    h = jnp.where(
+        mx == r, (g - b) / (d + e) % 6.0,
+        jnp.where(mx == g, (b - r) / (d + e) + 2.0, (r - g) / (d + e) + 4.0))
+    h = (h / 6.0) % 1.0
+    s = d / (mx + e)
+    return h, s, mx
+
+
+def _hsv_to_rgb(h, s, v):
+    """color.art hsv_to_srgb (iq-style palette formulation)."""
+    k = jnp.stack([(h + 1.0) % 1.0 * 6.0, (h + 2.0 / 3.0) % 1.0 * 6.0,
+                   (h + 1.0 / 3.0) % 1.0 * 6.0], axis=-1)
+    p = jnp.abs(k - 3.0)
+    core = jnp.clip(p - 1.0, 0.0, 1.0)
+    return v[..., None] * (1.0 + s[..., None] * (core - 1.0))
+
+
+def _color_conv(fn):
+    def wrap(args):
+        c = args[0][1]
+        rgb = fn(c[..., :3])
+        return ("vec4", jnp.concatenate([rgb, c[..., 3:4]], axis=-1))
+    return wrap
+
+
+def _conv_hsv(c):
+    h, s, v = _rgb_to_hsv(c)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _conv_from_hsv(c):
+    return _hsv_to_rgb(c[..., 0], c[..., 1], c[..., 2])
+
+
+def _conv_hsl(c):
+    h, s, v = _rgb_to_hsv(c)
+    l = v * (1.0 - s / 2.0)
+    denom = jnp.minimum(l, 1.0 - l)
+    sl = jnp.where(denom <= 1e-10, 0.0, (v - l) / jnp.maximum(denom, 1e-10))
+    return jnp.stack([h, sl, l], axis=-1)
+
+
+def _conv_from_hsl(c):
+    h, s, l = c[..., 0], c[..., 1], c[..., 2]
+    v = l + s * jnp.minimum(l, 1.0 - l)
+    sv = jnp.where(v <= 1e-10, 0.0, 2.0 * (1.0 - l / jnp.maximum(v, 1e-10)))
+    return _hsv_to_rgb(h, sv, v)
+
+
+# sRGB (linear) <-> XYZ, D65 (color.art srgb_to_xyz/xyz_to_srgb)
+_RGB2XYZ = np.float32([[0.4124564, 0.3575761, 0.1804375],
+                       [0.2126729, 0.7151522, 0.0721750],
+                       [0.0193339, 0.1191920, 0.9503041]])
+_XYZ2RGB = np.linalg.inv(_RGB2XYZ).astype(np.float32)
+
+
+def _lerp_c(a, b, t):
+    return a * (1.0 - t) + b * t
+
+
+def _mix_mode(fn):
+    """Blend-mode mixes (color.art:209-266): rgb blended, alpha from a."""
+    def wrap(args):
+        a = args[0][1]
+        b = args[1][1]
+        t = _as_num(args[2])[1][..., None]
+        rgb = fn(a[..., :3], b[..., :3], t)
+        return ("vec4", jnp.concatenate([rgb, a[..., 3:4]], axis=-1))
+    return wrap
+
+
+def _mix_screen_rgb(a, b, t):
+    return 1.0 - (_lerp_c(jnp.ones_like(b), 1.0 - b, t)) * (1.0 - a)
+
+
+def _mix_overlay_rgb(a, b, t):
+    return jnp.where(a < 0.5, a * _lerp_c(1.0, 2.0 * b, t),
+                     1.0 - (1.0 - a) * _lerp_c(1.0, 2.0 * (1.0 - b), t))
+
+
+def _mix_dodge_rgb(a, b, t):
+    den = 1.0 - t * b
+    d = jnp.minimum(1.0, jnp.where(den == 0.0, 0.0, a / jnp.where(den == 0.0, 1.0, den)))
+    return jnp.where(a == 0.0, a, jnp.where(d < 0.0, 1.0, d))
+
+
+def _mix_burn_rgb(a, b, t):
+    d = _lerp_c(jnp.ones_like(b), b, t)
+    return jnp.where(d <= 1.1920929e-07, 0.0,
+                     jnp.clip(1.0 - (1.0 - a) / jnp.where(d == 0.0, 1.0, d),
+                              0.0, 1.0))
+
+
+def _mix_soft_rgb(a, b, t):
+    scr = 1.0 - (1.0 - a) * (1.0 - b)
+    return _lerp_c(a, (1.0 - a) * a * b + a * scr, t)
+
+
+def _mix_linear_rgb(a, b, t):
+    return a + jnp.where(b > 0.5, 2.0 * (b - 0.5), 2.0 * b - 1.0) * t
+
+
+def _fresnel_conductor_fn(args):
+    from ignis_tpu.bsdf.union import _conductor_factor
+    n = _as_num(args[0])[1]
+    k = _as_num(args[1])[1]
+    ci = _as_num(args[2])[1]
+    return ("num", _conductor_factor(n, k, ci))
+
+
+def _angle_fn(args):
+    a, b = args[0][1], args[1][1]
+    la = jnp.sqrt(jnp.sum(a * a, axis=-1))
+    lb = jnp.sqrt(jnp.sum(b * b, axis=-1))
+    cosv = jnp.sum(a * b, axis=-1) / jnp.maximum(la * lb, 1e-20)
+    return ("num", jnp.arccos(jnp.clip(cosv, -1.0, 1.0)))
+
+
+def _euler_mat(e):
+    cx, cy, cz = jnp.cos(e[..., 0]), jnp.cos(e[..., 1]), jnp.cos(e[..., 2])
+    sx, sy, sz = jnp.sin(e[..., 0]), jnp.sin(e[..., 1]), jnp.sin(e[..., 2])
+    # rows of euler_to_mat3x3 (vector.art:195-214, column-major make_mat3x3)
+    r0 = jnp.stack([cy * cz, sy * sx * cz - cx * sz, sy * cx * cz + sx * sz], -1)
+    r1 = jnp.stack([cy * sz, sy * sx * sz + cx * cz, sy * cx * sz - sx * cz], -1)
+    r2 = jnp.stack([-sy, cy * sx, cy * cx], -1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def _rotate_euler(args, inverse=False):
+    p, e = args[0][1], args[1][1]
+    m = _euler_mat(e)
+    if inverse:
+        out = jnp.einsum("...ji,...j->...i", m, p)
+    else:
+        out = jnp.einsum("...ij,...j->...i", m, p)
+    return ("vec3", out)
+
+
+def _rotate_axis_fn(args):
+    p = args[0][1]
+    ang = _as_num(args[1])[1]
+    ax = args[2][1]
+    c = jnp.cos(ang)[..., None]
+    s = jnp.sin(ang)[..., None]
+    d = jnp.sum(ax * p, axis=-1, keepdims=True)
+    return ("vec3", p * c + jnp.cross(ax, p) * s + ax * d * (1.0 - c))
+
+
+def _hash_fn(args):
+    """hash_rndf (random.art:91): FNV-seeded TEA draw from the f32 bits."""
+    from ignis_tpu.core import rng
+    x = _as_num(args[0])[1]
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(x, jnp.float32),
+                                        jnp.uint32)
+    seed = rng.hash_combine(rng.hash_init(), bits)
+    v, _ = rng.next_f32(seed, jnp.ones_like(bits))
+    return ("num", v)
+
+
+
+
+def _colored_noise(scalar_fn):
+    """cnoise family (noise.art:8,266): 3 offset-seed scalar evaluations."""
+    def wrap(args):
+        r = scalar_fn([args[0]])[1]
+        g = scalar_fn([(args[0][0], args[0][1] + 17.31)])[1]
+        b = scalar_fn([(args[0][0], args[0][1] + 41.97)])[1]
+        rgb = jnp.stack([r, g, b], axis=-1)
+        a = jnp.ones(rgb.shape[:-1] + (1,), jnp.float32)
+        return ("vec4", jnp.concatenate([rgb, a], axis=-1))
+    return wrap
+
+
+def _lookup_fn(args):
+    """Curve lookup (Transpiler.cpp:206-247 → math.art lookup_curve).
+
+    lookup(interp: str, extrapolate: bool, t: num, p0: vec2, ...)."""
+    interp = str(args[0][1]).lower() if args[0][0] == "str" else "linear"
+    linear = interp != "constant"
+    extrap = args[1][1]
+    t = _as_num(args[2])[1]
+    xs = [a[1][..., 0] for a in args[3:]]
+    ys = [a[1][..., 1] for a in args[3:]]
+    count = len(xs)
+    if count == 0:
+        return ("num", jnp.zeros_like(t))
+    x = jnp.stack([jnp.broadcast_to(v, t.shape) for v in xs], axis=-1)
+    y = jnp.stack([jnp.broadcast_to(v, t.shape) for v in ys], axis=-1)
+    i = jnp.clip(jnp.sum((x <= t[..., None]).astype(jnp.int32), axis=-1) - 1,
+                 0, count - 1)
+    ii = jnp.minimum(i + 1, count - 1)
+    lanes = jnp.arange(t.shape[0]) if t.ndim else 0
+    x0 = x[..., i] if t.ndim == 0 else x[lanes, i]
+    x1 = x[..., ii] if t.ndim == 0 else x[lanes, ii]
+    y0 = y[..., i] if t.ndim == 0 else y[lanes, i]
+    y1 = y[..., ii] if t.ndim == 0 else y[lanes, ii]
+    if linear:
+        t0 = jnp.clip((t - x0) / jnp.maximum(x1 - x0, 1e-10), 0.0, 1.0)
+        inside = y0 + (y1 - y0) * t0
+    else:
+        inside = y0
+    # out-of-range handling (math.art lookup_curve)
+    yl0 = y[..., 0] if t.ndim == 0 else y[lanes, 0]
+    yl1 = y[..., 1 % count] if t.ndim == 0 else y[lanes, 1 % count]
+    ye0 = y[..., count - 1] if t.ndim == 0 else y[lanes, count - 1]
+    ye1 = y[..., max(count - 2, 0)] if t.ndim == 0 else y[lanes, max(count - 2, 0)]
+    lo_ex = yl0 + (yl0 - yl1) * (-t) * (count - 1)
+    hi_ex = ye0 + (ye0 - ye1) * (t - 1.0) * (count - 1)
+    lo = jnp.where(extrap, lo_ex, yl0)
+    hi = jnp.where(extrap, hi_ex, ye0)
+    out = jnp.where(t < 0.0, lo, jnp.where(t > 1.0, hi, inside))
+    return ("num", out)
+
+
+def _ensure_valid_reflection(args):
+    """Cycles' shading-normal clamp (sampling.art:120-160)."""
+    ng, i, n = args[0][1], args[1][1], args[2][1]
+    r = 2.0 * jnp.sum(i * n, axis=-1, keepdims=True) * n - i
+    thr = jnp.minimum(0.9 * jnp.sum(ng * i, axis=-1), 0.01)
+    ok = jnp.sum(ng * r, axis=-1) >= thr
+    ndotng = jnp.sum(n * ng, axis=-1, keepdims=True)
+    xraw = n - ng * ndotng
+    x = xraw / jnp.maximum(
+        jnp.sqrt(jnp.sum(xraw * xraw, axis=-1, keepdims=True)), 1e-20)
+    ix = jnp.sum(i * x, axis=-1)
+    iz = jnp.sum(i * ng, axis=-1)
+    ix2, iz2 = ix * ix, iz * iz
+    a = ix2 + iz2
+    b = jnp.sqrt(jnp.maximum(ix2 * (a - thr * thr), 0.0))
+    c = iz * thr + a
+    fac = 0.5 / jnp.maximum(a, 1e-20)
+    n1z2 = fac * (b + c)
+    n2z2 = fac * (-b + c)
+    v1 = (n1z2 > 1e-5) & (n1z2 <= 1.0 + 1e-5)
+    v2 = (n2z2 > 1e-5) & (n2z2 <= 1.0 + 1e-5)
+    # both valid -> pick the one closer to N (larger z); else the valid one
+    z2 = jnp.where(v1 & v2, jnp.maximum(n1z2, n2z2),
+                   jnp.where(v1, n1z2, n2z2))
+    nx = jnp.sqrt(jnp.maximum(1.0 - z2, 0.0))
+    nz = jnp.sqrt(jnp.maximum(z2, 0.0))
+    n_new = x * nx[..., None] + ng * nz[..., None]
+    use_new = (~ok) & (v1 | v2)
+    out = jnp.where(use_new[..., None], n_new,
+                    jnp.where(ok[..., None], n, ng))
+    return ("vec3", out)
+
+
 _FUNCTIONS = {
     # elementwise math family (Transpiler.cpp _MF1A table)
     **{name: _elemwise(fn) for name, fn in {
@@ -500,11 +787,20 @@ _FUNCTIONS = {
         "round": jnp.round, "fract": lambda x: x - jnp.floor(x),
         "trunc": jnp.trunc, "sqrt": jnp.sqrt, "cbrt": jnp.cbrt,
         "abs": jnp.abs, "sign": jnp.sign,
+        "rad": jnp.deg2rad, "deg": jnp.rad2deg,
     }.items()},
     **{name: _elemwise2(fn) for name, fn in {
         "atan2": jnp.arctan2, "min": jnp.minimum, "max": jnp.maximum,
         "fmod": jnp.fmod, "pow": jnp.power,
-        "snap": lambda a, b: jnp.round(a / b) * b,
+        "snap": lambda a, b: jnp.floor(jnp.where(b == 0, 0.0, a / jnp.where(b == 0, 1.0, b))) * b,
+        # pingpong (math.art:94; guard uses eps — the reference compares
+        # |y| <= flt_pi there, which zeroes every |y| <= 3.14 and cannot be
+        # the intended Blender semantics, so we deviate to the eps guard)
+        "pingpong": lambda x, y: jnp.where(
+            jnp.abs(y) <= 1.1920929e-07,
+            0.0, jnp.abs(((x - y) / jnp.where(y == 0, 1.0, y * 2)
+                          - jnp.floor((x - y) / jnp.where(y == 0, 1.0, y * 2)))
+                         * y * 2 - y)),
     }.items()},
     "vec2": lambda args: _vecn(args, 2),
     "vec3": lambda args: _vecn(args, 3),
@@ -521,11 +817,73 @@ _FUNCTIONS = {
     "voronoi": _noise_fn, "fbm": _noise_fn,
     "checkerboard": _checkerboard_fn,
     "fresnel_dielectric": _fresnel_dielectric_fn,
+    "fresnel_conductor": _fresnel_conductor_fn,
+    "blackbody": _blackbody,
+    "rgbtoxyz": _color_conv(lambda c: jnp.einsum(
+        "ij,...j->...i", jnp.asarray(_RGB2XYZ), c)),
+    "xyztorgb": _color_conv(lambda c: jnp.einsum(
+        "ij,...j->...i", jnp.asarray(_XYZ2RGB), c)),
+    "rgbtohsv": _color_conv(_conv_hsv),
+    "hsvtorgb": _color_conv(_conv_from_hsv),
+    "rgbtohsl": _color_conv(_conv_hsl),
+    "hsltorgb": _color_conv(_conv_from_hsl),
+    "mix_screen": _mix_mode(_mix_screen_rgb),
+    "mix_overlay": _mix_mode(_mix_overlay_rgb),
+    "mix_dodge": _mix_mode(_mix_dodge_rgb),
+    "mix_burn": _mix_mode(_mix_burn_rgb),
+    "mix_soft": _mix_mode(_mix_soft_rgb),
+    "mix_linear": _mix_mode(_mix_linear_rgb),
+    "mix_hue": _mix_mode(lambda a, b, t: _lerp_c(
+        a, _conv_from_hsv(jnp.concatenate(
+            [_conv_hsv(b)[..., 0:1], _conv_hsv(a)[..., 1:3]], axis=-1)), t)),
+    "mix_saturation": _mix_mode(lambda a, b, t: _conv_from_hsv(
+        jnp.concatenate([_conv_hsv(a)[..., 0:1],
+                         _lerp_c(_conv_hsv(a)[..., 1:2],
+                                 _conv_hsv(b)[..., 1:2], t),
+                         _conv_hsv(a)[..., 2:3]], axis=-1))),
+    "mix_value": _mix_mode(lambda a, b, t: _conv_from_hsv(
+        jnp.concatenate([_conv_hsv(a)[..., 0:2],
+                         _lerp_c(_conv_hsv(a)[..., 2:3],
+                                 _conv_hsv(b)[..., 2:3], t)], axis=-1))),
+    "mix_color": _mix_mode(lambda a, b, t: _lerp_c(
+        a, _conv_from_hsv(jnp.concatenate(
+            [_conv_hsv(b)[..., 0:2], _conv_hsv(a)[..., 2:3]], axis=-1)), t)),
+    "angle": _angle_fn,
+    "rotate_euler": lambda args: _rotate_euler(args),
+    "rotate_euler_inverse": lambda args: _rotate_euler(args, inverse=True),
+    "rotate_axis": _rotate_axis_fn,
+    "hash": _hash_fn,
+    "signbit": lambda args: ("bool", _as_num(args[0])[1] < 0),
+    "lookup": _lookup_fn,
+    "ensure_valid_reflection": _ensure_valid_reflection,
+    "lerp": _mix,
+    "smin": lambda args: ("num", (lambda x, y, k: jnp.minimum(x, y)
+                                  - (lambda h: h * h * h * k / 6.0)(
+        jnp.maximum(k - jnp.abs(x - y), 0.0) / jnp.maximum(k, 1e-20)))(
+        _as_num(args[0])[1], _as_num(args[1])[1], _as_num(args[2])[1])),
+    "smax": lambda args: ("num", -(lambda x, y, k: jnp.minimum(x, y)
+                                   - (lambda h: h * h * h * k / 6.0)(
+        jnp.maximum(k - jnp.abs(x - y), 0.0) / jnp.maximum(k, 1e-20)))(
+        -_as_num(args[0])[1], -_as_num(args[1])[1], _as_num(args[2])[1])),
+    "wrap": lambda args: ("num", (lambda v, lo, hi: jnp.where(
+        hi - lo <= 1.1920929e-07, lo,
+        v - (hi - lo) * jnp.floor((v - lo) / jnp.where(
+            hi == lo, 1.0, hi - lo))))(
+        _as_num(args[0])[1], _as_num(args[1])[1], _as_num(args[2])[1])),
     "smoothstep": _smoothstep,
     "smootherstep": lambda args: ("num", (lambda x: x ** 3 * (x * (6 * x - 15) + 10))(jnp.clip(_as_num(args[0])[1], 0, 1))),
     "dist": lambda args: ("num", jnp.sqrt(jnp.sum((args[0][1] - args[1][1]) ** 2, axis=-1))),
     "reflect": lambda args: ("vec3", 2.0 * jnp.sum(args[1][1] * args[0][1], axis=-1, keepdims=True) * args[1][1] - args[0][1]),
 }
+
+
+# colored noise family (noise.art:235-266): three offset-seed scalar draws;
+# our scalar noise is already an (allowed) re-design, so the colored
+# variants inherit it rather than matching the reference pattern bit-exactly
+for _cname, _sname in (("cnoise", "noise"), ("cpnoise", "pnoise"),
+                       ("ccellnoise", "cellnoise"), ("cperlin", "perlin"),
+                       ("cvoronoi", "voronoi"), ("cfbm", "fbm")):
+    _FUNCTIONS[_cname] = _colored_noise(_FUNCTIONS[_sname])
 
 
 _PARSE_CACHE: dict[str, Node] = {}
