@@ -96,8 +96,9 @@ class Runtime:
                 ent_flags = np.asarray(tables["ent_flags"])
                 tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
                 tables = dict(tables)
-                tables.update(bw_tables(tables["tri_v0"], tables["tri_e1"],
-                                        tables["tri_e2"], tri_flags))
+                tables.update(bw_tables(
+                    tables["tri_v0"], tables["tri_e1"], tables["tri_e2"],
+                    tri_flags, order=np.asarray(bvh.tri_order)))
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.seed = int(seed)
         self.iteration = 0

@@ -98,3 +98,22 @@ def test_bw_degenerate_triangles_never_hit():
     _, _, _, pi = bw_closest(tab, org, d, tmin, tmax, interpret=True)
     pi = np.asarray(pi)
     assert not np.isin(pi, [3, 9]).any()
+
+
+def test_bw_cluster_order_reports_original_ids():
+    """SAH-order clustering must not change reported prim ids."""
+    t = 300
+    v0, e1, e2 = _random_soup(t, seed=11)
+    rng = np.random.default_rng(12)
+    order = rng.permutation(t)
+    tab = {k: jnp.asarray(v) for k, v in
+           bw_tables(v0, e1, e2, np.full(t, 0xF), order=order).items()}
+    tab_id = {k: jnp.asarray(v) for k, v in
+              bw_tables(v0, e1, e2, np.full(t, 0xF)).items()}
+    n = 256
+    org, d = _rays(n, seed=13)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    a = bw_closest(tab, org, d, tmin, tmax, interpret=True)
+    b = bw_closest(tab_id, org, d, tmin, tmax, interpret=True)
+    assert (np.asarray(a[3]) == np.asarray(b[3])).mean() > 0.99
