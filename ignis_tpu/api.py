@@ -99,6 +99,14 @@ class Runtime:
                 tables.update(bw_tables(
                     tables["tri_v0"], tables["tri_e1"], tables["tri_e2"],
                     tri_flags, order=np.asarray(bvh.tri_order)))
+        # Consolidated per-triangle shading table: _surface_at needs 12
+        # row gathers per bounce; packing them into ONE (T, 28) row makes
+        # it a single gather (one-hot matmul for small T — XLA's native
+        # TPU gather is a ~6 ns/lane serial loop, measured 374 us/gather
+        # at 65536 lanes).
+        if tables["tri_v0"].shape[0] > 0:
+            tables = dict(tables)
+            tables["tri_shade"] = self._pack_tri_shade(tables)
         self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
         self.seed = int(seed)
         self.iteration = 0
@@ -147,6 +155,26 @@ class Runtime:
         self._render_wavefront = jax.jit(
             partial(render_wavefront, self.scene),
             static_argnames=("capacity", "spi"))
+
+    @staticmethod
+    def _pack_tri_shade(tables):
+        """(T, 28) f32: v0|e1|e2|n0|n1|n2|uv0|uv1|uv2|ent|mat|light|pad."""
+        t = np.asarray(tables["tri_v0"]).shape[0]
+        out = np.zeros((t, 28), np.float32)
+        out[:, 0:3] = np.asarray(tables["tri_v0"], np.float32)
+        out[:, 3:6] = np.asarray(tables["tri_e1"], np.float32)
+        out[:, 6:9] = np.asarray(tables["tri_e2"], np.float32)
+        out[:, 9:12] = np.asarray(tables["tri_n0"], np.float32)
+        out[:, 12:15] = np.asarray(tables["tri_n1"], np.float32)
+        out[:, 15:18] = np.asarray(tables["tri_n2"], np.float32)
+        out[:, 18:20] = np.asarray(tables["tri_uv0"], np.float32)
+        out[:, 20:22] = np.asarray(tables["tri_uv1"], np.float32)
+        out[:, 22:24] = np.asarray(tables["tri_uv2"], np.float32)
+        ent = np.asarray(tables["tri_ent"])
+        out[:, 24] = ent.astype(np.float32)
+        out[:, 25] = np.asarray(tables["ent_mat"])[ent].astype(np.float32)
+        out[:, 26] = np.asarray(tables["ent_light"])[ent].astype(np.float32)
+        return out
 
     # ------------------------------------------------------------------ info
     @property

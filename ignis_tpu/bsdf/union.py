@@ -84,7 +84,7 @@ def material_params(scene, tables, surf):
         import numpy as _np
         from ignis_tpu.texture import resolve_color
         mat_tex_np = _np.asarray(scene.tables["mat_tex"])
-        tex_ids = tables["mat_tex"][mat_id]  # (N, 4)
+        tex_ids = gather_rows(tables["mat_tex"], mat_id)  # (N, 4)
         for slot in range(mat_tex_np.shape[1]):
             if (mat_tex_np[:, slot] >= 0).any():
                 resolved = resolve_color(scene, tables, colors[:, slot],

@@ -117,9 +117,10 @@ def build_light_hierarchy(pos, dirs, has_dir, flux):
 # ---------------------------------------------------------------- traversal
 def _entry_cost(tables, node, from_pos):
     """flux * |cos(dir, to-node)| / dist^2 (light_hierarchy.art:39-51)."""
-    p = tables["lh_pos"][node]
-    f = tables["lh_flux"][node]
-    d = tables["lh_dir"][node]
+    from ignis_tpu.core.dgather import gather_rows
+    p = gather_rows(tables["lh_pos"], node)
+    f = gather_rows(tables["lh_flux"], node)
+    d = gather_rows(tables["lh_dir"], node)
     cdir = p - from_pos
     dist2 = jnp.sum(cdir * cdir, axis=-1)
     inv_len = safe_div(1.0, jnp.sqrt(jnp.maximum(dist2, 1e-20)))
@@ -175,7 +176,8 @@ def hierarchy_pdf(tables, local_idx, from_pos, depth):
     n = from_pos.shape[0]
     node = jnp.zeros((n,), jnp.int32)
     pdf = jnp.ones((n,), jnp.float32)
-    code = tables["lh_codes"][local_idx]
+    from ignis_tpu.core.dgather import gather_rows as _gr
+    code = _gr(tables["lh_codes"], local_idx)
 
     child0 = tables["lh_child"]
     right0 = tables["lh_right"]

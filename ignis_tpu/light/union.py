@@ -168,12 +168,12 @@ def light_select_pdf(scene, tables, light_idx, from_pos):
     kind = scene.technique.light_selector
     finite_ids = [i for i, l in enumerate(scene.lights) if not l.infinite]
     inf_ids = [i for i, l in enumerate(scene.lights) if l.infinite]
-    static = tables["light_sel_pdf"][light_idx]
+    static = gather_rows(tables["light_sel_pdf"], light_idx)
     if (kind != "hierarchy" or "lh_child" not in tables
             or from_pos is None or len(finite_ids) < 2):
         return static
     from ignis_tpu.light.hierarchy import hierarchy_pdf
-    loc = tables["light_fin_local"][light_idx]
+    loc = gather_rows(tables["light_fin_local"], light_idx)
     hpdf = hierarchy_pdf(tables, jnp.maximum(loc, 0), from_pos,
                          scene.lh_depth)
     if inf_ids:
@@ -508,7 +508,7 @@ def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
     Returns (sample dict incl. infinite/delta masks, counter).
     """
     types_present = sorted({l.type for l in scene.lights})
-    light_type = tables["light_type"][light_idx]
+    light_type = gather_rows(tables["light_type"], light_idx)
     data = _ldata(tables, light_idx)
     scene_radius = scene.scene_radius() * 1.01
 
@@ -569,8 +569,8 @@ def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
             out[k] = jnp.where(m[..., None] if out[k].ndim == 2 else m, r[k], out[k])
         draws = jnp.where(m, jnp.uint32(_LIGHT_DRAWS[t]), draws)
 
-    out["infinite"] = tables["light_infinite"][light_idx]
-    out["delta"] = tables["light_delta"][light_idx]
+    out["infinite"] = gather_rows(tables["light_infinite"], light_idx)
+    out["delta"] = gather_rows(tables["light_delta"], light_idx)
     counter = jnp.where(active, counter + draws, counter)
     return out, counter
 
@@ -588,7 +588,7 @@ def light_pdf_direct_solid(scene, tables, light_idx, ray_org, ray_dir,
     uniform-area meshes).
     """
     types_present = sorted({l.type for l in scene.lights})
-    light_type = tables["light_type"][light_idx]
+    light_type = gather_rows(tables["light_type"], light_idx)
     data = _ldata(tables, light_idx)
     out = jnp.zeros(hit_dist.shape, dtype=jnp.float32)
     d2 = hit_dist * hit_dist

@@ -152,16 +152,33 @@ def _use_pallas(org):
 
 
 def _surface_at(tables, prim, org, direction, t, u, v):
-    """SurfaceElement for hit lanes (shapes/trimesh.art:14-40)."""
-    v0 = tables["tri_v0"][prim]
-    e1 = tables["tri_e1"][prim]
-    e2 = tables["tri_e2"][prim]
-    n0 = tables["tri_n0"][prim]
-    n1 = tables["tri_n1"][prim]
-    n2 = tables["tri_n2"][prim]
-    uv0 = tables["tri_uv0"][prim]
-    uv1 = tables["tri_uv1"][prim]
-    uv2 = tables["tri_uv2"][prim]
+    """SurfaceElement for hit lanes (shapes/trimesh.art:14-40).
+
+    All per-triangle attributes come from ONE consolidated gather of the
+    packed (T, 28) `tri_shade` row (api.py _pack_tri_shade) — a dozen
+    separate XLA gathers were the single largest cost of a bounce on TPU.
+    """
+    if "tri_shade" in tables:
+        row = gather_rows(tables["tri_shade"], prim)
+        v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
+        n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
+        uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
+        ent = row[:, 24].astype(jnp.int32)
+        mat_id = row[:, 25].astype(jnp.int32)
+        light_id = row[:, 26].astype(jnp.int32)
+    else:
+        v0 = tables["tri_v0"][prim]
+        e1 = tables["tri_e1"][prim]
+        e2 = tables["tri_e2"][prim]
+        n0 = tables["tri_n0"][prim]
+        n1 = tables["tri_n1"][prim]
+        n2 = tables["tri_n2"][prim]
+        uv0 = tables["tri_uv0"][prim]
+        uv1 = tables["tri_uv1"][prim]
+        uv2 = tables["tri_uv2"][prim]
+        ent = tables["tri_ent"][prim]
+        mat_id = tables["ent_mat"][ent]
+        light_id = tables["ent_light"][ent]
     nraw = cross(e1, e2)
     nlen = length(nraw)
     face_n = nraw * safe_div(1.0, nlen)[..., None]
@@ -174,21 +191,19 @@ def _surface_at(tables, prim, org, direction, t, u, v):
     point = org + direction * t[..., None]
     tex = (uv0 * (1.0 - u - v)[..., None] + uv1 * u[..., None] + uv2 * v[..., None])
     tb, bb = orthonormal_basis(ns)
-    ent = tables["tri_ent"][prim]
     return dict(point=point, n=ns, ng=face_n, is_entering=entering,
                 inv_area=inv_area, tex=tex, t=tb, b=bb,
-                ent=ent, mat_id=tables["ent_mat"][ent],
-                light_id=tables["ent_light"][ent],
+                ent=ent, mat_id=mat_id, light_id=light_id,
                 prim_coords=jnp.stack([u, v], axis=-1))
 
 
 def _pexpr_ctx(tables, surf, org, d):
     """Lane context for PExpr-valued properties (Transpiler.cpp:261-287)."""
     ent = surf["ent"]
-    lm = tables["ent_local_mat"][ent]           # (N, 3, 4)
+    lm = gather_rows(tables["ent_local_mat"], ent)  # (N, 3, 4)
     lp = jnp.einsum("nij,nj->ni", lm[:, :, :3], surf["point"]) + lm[:, :, 3]
-    lo = tables["ent_lbbox_min"][ent]
-    hi = tables["ent_lbbox_max"][ent]
+    lo = gather_rows(tables["ent_lbbox_min"], ent)
+    hi = gather_rows(tables["ent_lbbox_max"], ent)
     ext = hi - lo
     np_ = jnp.where(ext == 0, 0.0, (lp - lo) / jnp.where(ext == 0, 1.0, ext))
     return dict(uv=surf["tex"],
@@ -431,8 +446,8 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
         surf_alive = surf_branch & b_valid & (u_rr_s < rr_s)
         # medium interface crossing (volpathtracer.art:183-186,274-276)
         is_transmission = jnp.signbit(dot(surf["n"], in_dir))
-        inner = tables["ent_inner_medium"][surf["ent"]]
-        outer = tables["ent_outer_medium"][surf["ent"]]
+        inner = gather_rows(tables["ent_inner_medium"], surf["ent"])
+        outer = gather_rows(tables["ent_outer_medium"], surf["ent"])
         picked = jnp.where(surf["is_entering"], inner, outer)
         med_s = jnp.where(is_transmission, picked, med)
         depth_s = jnp.where(is_transmission, depth, depth + 1)
@@ -798,13 +813,13 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
 
 def _gather_mat_type(scene, tables, mat_id):
     types = jnp.asarray(scene.bsdf_types, dtype=jnp.int32)
-    return types[mat_id]
+    return gather_rows(types, mat_id)
 
 
 def _area_light_radiance(scene, tables, light_idx):
     """Radiance color of area lights by id (layout per light type)."""
     data = gather_rows(tables["light_data"], light_idx)
-    ltype = tables["light_type"][light_idx]
+    ltype = gather_rows(tables["light_type"], light_idx)
     from ignis_tpu.scene.compile import LIGHT_AREA_PLANE
     return jnp.where((ltype == LIGHT_AREA_PLANE)[..., None],
                      data[:, 13:16], data[:, 0:3])
