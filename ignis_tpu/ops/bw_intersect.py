@@ -23,6 +23,7 @@ flag semantics, SURVEY.md §8.3).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -195,6 +196,8 @@ def _bw_loop(tri_ref, cl_ref, mask_bit, ox, oy, oz, dx, dy, dz, tmin, tmax,
                                  tmin, best, any_hit)
             return best
 
+        if os.environ.get("IGNIS_TPU_BW_CLUSTER", "1") == "0":
+            return do(best)
         return jax.lax.cond(anyhit, do, lambda b: b, best)
 
     return jax.lax.fori_loop(0, ntiles, tile_test, init)
@@ -256,7 +259,12 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     n = org.shape[0]
     tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
     tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
-    sort = n >= 2 * BLOCK and not interpret
+    # Per-call ray sorting is DEFAULT-OFF: the permutation (and its
+    # inverse on four outputs) are 65536-lane XLA gathers at ~374 us each
+    # — measured a net 1.8x regression on the production wavefront.  The
+    # cluster skip still fires on naturally coherent camera blocks.
+    sort = (n >= 2 * BLOCK and not interpret
+            and os.environ.get("IGNIS_TPU_BW_SORT", "0") == "1")
     if sort:
         perm, inv = _sort_perm(tables, org, d, tmin, tmax)
         org, d = org[perm], d[perm]

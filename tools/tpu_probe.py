@@ -166,6 +166,55 @@ def main():
                           "ms_per_step": round(dt * 1e3, 1)}), flush=True)
         return
 
+    if mode == "shade":
+        # _bounce_core with traversal stubbed out: the pure shading cost
+        # of one wave iteration at 65536 lanes
+        import ignis_tpu.render.integrator as integ
+        n = 1 << 16
+        rng2 = np.random.default_rng(3)
+        Tn = int(tables["tri_v0"].shape[0])
+        prim_fix = jnp.asarray(rng2.integers(0, Tn, n).astype(np.int32))
+        t_fix = jnp.full((n,), 1.3, jnp.float32)
+        uvv = jnp.full((n,), 0.3, jnp.float32)
+
+        def fake_closest(scene_, tables_, org, d, tmn, tmx, tri_mask,
+                         mask_bit=None):
+            z = (0.0 * org[:, 0]).astype(jnp.int32)
+            return (t_fix + 0.0 * org[:, 0], uvv, uvv, prim_fix + z)
+
+        def fake_any(scene_, tables_, org, d, tmn, tmx, tri_mask,
+                     mask_bit=None):
+            return (org[:, 0] * 0.0) > 1.0
+
+        integ._traverse_closest = fake_closest
+        integ._traverse_any = fake_any
+        org, d = rand_rays(n)
+
+        def body(i, c):
+            st = dict(
+                org=org + 1e-6 * i.astype(jnp.float32) + 0.0 * c,
+                dir=d, tmin=jnp.zeros((n,), jnp.float32),
+                tmax=jnp.full((n,), 1e30, jnp.float32),
+                alive=jnp.ones((n,), bool),
+                seed=jnp.full((n,), 7, jnp.uint32),
+                counter=jnp.ones((n,), jnp.uint32),
+                inv_pdf=jnp.zeros((n,), jnp.float32),
+                contrib=jnp.ones((n, 3), jnp.float32),
+                depth=jnp.ones((n,), jnp.int32),
+                eta=jnp.ones((n,), jnp.float32),
+                medium=jnp.full((n,), -1, jnp.int32),
+                voldepth=jnp.zeros((n,), jnp.int32),
+                nullfl=jnp.zeros((n,), bool),
+            )
+            splat, st2 = integ._bounce_core(scene, tables, st, None, None)
+            return c + jnp.float32(1e-12) * (
+                jnp.sum(splat) + jnp.sum(st2["contrib"]))
+        dt, tl, th = diff_time(body, lo=2, hi=8)
+        print(json.dumps({"mode": mode,
+                          "mlanes_s": round(n / dt / 1e6, 2),
+                          "ms_per_iter": round(dt * 1e3, 2)}), flush=True)
+        return
+
     if mode == "scan":
         from ignis_tpu.render.integrator import trace_wave
         n = 1 << 19
