@@ -69,9 +69,10 @@ def phase_fwd():
     def make(n):
         def body(i, c):
             fb, _ = render_wavefront(
-                scene, tables, wx, wy, ws,
+                scene, tables, None, None, None,
                 i.astype(jnp.uint32) + (0.0 * c).astype(jnp.uint32),
-                jnp.uint32(0), 0, capacity=65536, spi=1)
+                jnp.uint32(0), 0, capacity=65536, spi=1,
+                work_mode="arith", work_total=npix)
             return c + jnp.sum(fb) * jnp.float32(1e-12)
         return jax.jit(lambda: jax.lax.fori_loop(0, n, body,
                                                  jnp.float32(0.0)))
@@ -147,9 +148,10 @@ def phase_big():
     def make(n):
         def body(i, c):
             fb, _ = render_wavefront(
-                scene, tables, wx, wy, ws,
+                scene, tables, None, None, None,
                 i.astype(jnp.uint32) + (0.0 * c).astype(jnp.uint32),
-                jnp.uint32(0), 0, capacity=65536, spi=1)
+                jnp.uint32(0), 0, capacity=65536, spi=1,
+                work_mode="arith", work_total=npix)
             return c + jnp.sum(fb) * jnp.float32(1e-12)
         return jax.jit(lambda: jax.lax.fori_loop(0, n, body,
                                                  jnp.float32(0.0)))

@@ -99,6 +99,13 @@ class Runtime:
                 tables.update(bw_tables(
                     tables["tri_v0"], tables["tri_e1"], tables["tri_e2"],
                     tri_flags, order=np.asarray(bvh.tri_order)))
+        # Instanced-pool tables (two-level TLAS, ops/bw_tlas.py): unique
+        # shapes keep ONE local copy; instances are transform records.
+        if getattr(self.scene, "instanced", None):
+            from ignis_tpu.ops.bw_tlas import build_tlas
+            tables = dict(tables)
+            tables.update(build_tlas(self.scene.instanced["shapes"],
+                                     self.scene.instanced["records"]))
         # Consolidated per-triangle shading table: _surface_at needs 12
         # row gathers per bounce; packing them into ONE (T, 28) row makes
         # it a single gather (one-hot matmul for small T — XLA's native
@@ -154,7 +161,7 @@ class Runtime:
                 static_argnames=("max_count",))
         self._render_wavefront = jax.jit(
             partial(render_wavefront, self.scene),
-            static_argnames=("capacity", "spi"))
+            static_argnames=("capacity", "spi", "work_mode", "work_total"))
 
     @staticmethod
     def _pack_tri_shade(tables):
@@ -320,19 +327,13 @@ class Runtime:
             return
         if self._wavefront_ok:
             total = npix * spi
-            if spi not in self._work_cache:
-                idx = np.arange(total, dtype=np.int64)
-                pix = (idx % npix).astype(np.int32)
-                self._work_cache[spi] = (
-                    jnp.asarray(pix % w), jnp.asarray(pix // w),
-                    jnp.asarray((idx // npix).astype(np.uint32)))
-            work_x, work_y, work_s = self._work_cache[spi]
             capacity = int(min(self.tile_size, max(8192, 1 << int(np.ceil(
                 np.log2(max(total, 1)))))))
             fb, wstats = self._render_wavefront(
-                self.tables, work_x, work_y, work_s,
+                self.tables, None, None, None,
                 jnp.uint32(self.iteration), jnp.uint32(self.frame),
-                self.seed, capacity=capacity, spi=spi)
+                self.seed, capacity=capacity, spi=spi,
+                work_mode="arith", work_total=total)
             self._accum = self._accum + fb
             self._dev_stats = self._dev_stats + wstats
             self._dev_stats_capacity = capacity

@@ -1,0 +1,336 @@
+"""Two-level instanced traversal (TLAS) — TPU-shaped, no stacks.
+
+The reference traverses a top-level entity BVH whose leaves carry
+world→local transforms and point at per-shape triangle BVHs
+(src/runtime/bvh/SceneBVHAdapter.h:88-131,
+src/artic/traversal/mapping_cpu.art:398-493).  Pointer-chasing stacks are
+latency-bound on TPU (ops/pallas_bvh measures ~2500 cycles per node
+visit), so the two levels here are DENSE SWEEPS with conditional skips,
+like ops/bw_intersect:
+
+  outer fori over entity instances: world-AABB slab vs the whole
+    (8, 128) ray block → lax.cond skip;
+  on hit: transform the block into shape-local space (SMEM 3x4) and
+    inner fori over the shape's local 8-triangle clusters (shared across
+    all instances of the shape): local-AABB slab → cond → 8
+    Baldwin-Weber triangle tests (SMEM scalars).
+
+Geometry memory is one local copy per unique shape + a ~100-byte record
+per instance — N instances of a mesh cost N transforms, not N meshes.
+Local ray directions are NOT normalized, so local t == world t and the
+best-hit state needs no rescaling.  Outputs include the hit instance id
+(entity binding — material/light/media resolve per hit, so instances of
+one shape can carry different materials).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ignis_tpu.ops.bw_intersect import TRI_TILE, _tri_test, bw_tables
+
+LANES = 128
+SUBLANES = 8
+BLOCK = LANES * SUBLANES
+VMEM_LIMIT = 100 * 1024 * 1024
+_SMEM_BUDGET_FLOATS = 120_000   # tri pool + clusters + instances in SMEM
+
+
+def build_tlas(shapes, instances):
+    """Build the instanced-pool tables.
+
+    shapes: list of dicts per unique LOCAL shape with keys
+      v0, e1, e2, n0, n1, n2 (T,3) and uv0, uv1, uv2 (T,2).
+    instances: list of (shape_idx, to_local 3x4 np, to_world 3x4 np,
+                        normal_mat 3x3 np, ent_id, maskbits).
+
+    Returns dict of np arrays:
+      tl_tris  (Tp, 16)  — shared local BW records, shapes concatenated
+      tl_clust (Cp, 8)   — shared local cluster AABBs
+      tl_shade (Tp, 28)  — shared LOCAL shading rows (v0|e1|e2|n0|n1|n2|
+                           uv0|uv1|uv2 in _pack_tri_shade layout)
+      tl_inst  (I, 32)   — per instance: wbbox(6) valid(1) cl_off(1)
+                           cl_cnt(1) tri_off(1) toLocal(12) ent(1)
+                           mask(1) pad
+      tl_norm  (I, 24)   — per instance: normal matrix (9, row-major),
+                           |det toWorld|, toWorld 3x4 (12), pad
+    """
+    tri_chunks = []
+    cl_chunks = []
+    shade_chunks = []
+    shape_info = []   # (tri_off_rows, cl_off, cl_cnt) per shape
+    tri_rows = 0
+    cl_rows = 0
+    for sh in shapes:
+        v0, e1, e2 = sh["v0"], sh["e1"], sh["e2"]
+        t = np.asarray(v0).shape[0]
+        tab = bw_tables(v0, e1, e2, np.full(t, 0xF))
+        tri_chunks.append(tab["bw_tris"])
+        cl_chunks.append(tab["bw_clusters"])
+        tp = tab["bw_tris"].shape[0]
+        shade = np.zeros((tp, 28), np.float32)
+        shade[:t, 0:3] = np.asarray(v0, np.float32)
+        shade[:t, 3:6] = np.asarray(e1, np.float32)
+        shade[:t, 6:9] = np.asarray(e2, np.float32)
+        shade[:t, 9:12] = np.asarray(sh["n0"], np.float32)
+        shade[:t, 12:15] = np.asarray(sh["n1"], np.float32)
+        shade[:t, 15:18] = np.asarray(sh["n2"], np.float32)
+        shade[:t, 18:20] = np.asarray(sh["uv0"], np.float32)
+        shade[:t, 20:22] = np.asarray(sh["uv1"], np.float32)
+        shade[:t, 22:24] = np.asarray(sh["uv2"], np.float32)
+        shade_chunks.append(shade)
+        shape_info.append((tri_rows, cl_rows, tab["bw_clusters"].shape[0]))
+        tri_rows += tp
+        cl_rows += tab["bw_clusters"].shape[0]
+
+    tl_tris = (np.concatenate(tri_chunks) if tri_chunks
+               else np.zeros((TRI_TILE, 16), np.float32))
+    tl_clust = (np.concatenate(cl_chunks) if cl_chunks
+                else np.zeros((1, 8), np.float32))
+    tl_shade = (np.concatenate(shade_chunks) if shade_chunks
+                else np.zeros((TRI_TILE, 28), np.float32))
+
+    ninst = max(1, len(instances))
+    inst = np.zeros((ninst, 32), np.float32)
+    normt = np.zeros((ninst, 24), np.float32)
+    for ii, (si, to_local, to_world, nmat, ent_id, mask) in enumerate(
+            instances):
+        v0 = np.asarray(shapes[si]["v0"], np.float64)
+        e1 = np.asarray(shapes[si]["e1"], np.float64)
+        e2 = np.asarray(shapes[si]["e2"], np.float64)
+        pts = np.concatenate([v0, v0 + e1, v0 + e2])
+        tw = np.asarray(to_world, np.float64)
+        wpts = pts @ tw[:, :3].T + tw[:, 3]
+        tri_off, cl_off, cl_cnt = shape_info[si]
+        inst[ii, 0:3] = wpts.min(axis=0) if len(pts) else 0.0
+        inst[ii, 3:6] = wpts.max(axis=0) if len(pts) else 0.0
+        inst[ii, 6] = 1.0
+        inst[ii, 7] = np.float32(cl_off)
+        inst[ii, 8] = np.float32(cl_cnt)
+        inst[ii, 9] = np.float32(tri_off)
+        inst[ii, 10:22] = np.asarray(to_local, np.float32).reshape(12)
+        inst[ii, 22] = np.float32(ent_id)
+        inst[ii, 23] = np.float32(int(mask) & 0xF)
+        normt[ii, 0:9] = np.asarray(nmat, np.float32).reshape(9)
+        normt[ii, 9] = abs(float(np.linalg.det(
+            np.asarray(to_world, np.float64)[:, :3])))
+        normt[ii, 10:22] = np.asarray(to_world, np.float32).reshape(12)
+    return {"tl_tris": tl_tris, "tl_clust": tl_clust,
+            "tl_shade": tl_shade, "tl_inst": inst, "tl_norm": normt}
+
+
+def _kernel(mask_ref, tris, clust, inst, ox, oy, oz, dx, dy, dz, tmn, tmx,
+            out_t, out_u, out_v, out_i, out_e, *, any_hit):
+    mask_bit = mask_ref[0]
+    oxv, oyv, ozv = ox[:], oy[:], oz[:]
+    dxv, dyv, dzv = dx[:], dy[:], dz[:]
+    tmin = tmn[:]
+    big = jnp.float32(1e30)
+    wix = jnp.where(dxv == 0.0, big, 1.0 / jnp.where(dxv == 0.0, 1.0, dxv))
+    wiy = jnp.where(dyv == 0.0, big, 1.0 / jnp.where(dyv == 0.0, 1.0, dyv))
+    wiz = jnp.where(dzv == 0.0, big, 1.0 / jnp.where(dzv == 0.0, 1.0, dzv))
+
+    ninst = inst.shape[0]
+    init = (tmx[:], jnp.zeros_like(tmin), jnp.zeros_like(tmin),
+            jnp.full(tmin.shape, -1, jnp.int32),
+            jnp.full(tmin.shape, -1, jnp.int32))
+
+    def inst_body(ie, best):
+        # world-AABB slab for the whole block
+        t0x = (inst[ie, 0] - oxv) * wix
+        t1x = (inst[ie, 3] - oxv) * wix
+        t0y = (inst[ie, 1] - oyv) * wiy
+        t1y = (inst[ie, 4] - oyv) * wiy
+        t0z = (inst[ie, 2] - ozv) * wiz
+        t1z = (inst[ie, 5] - ozv) * wiz
+        bt = best[0]
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                      jnp.maximum(t0y, t1y)),
+                          jnp.minimum(jnp.maximum(t0z, t1z), bt))
+        vis = (inst[ie, 23].astype(jnp.int32) & mask_bit) != 0
+        anyhit = jnp.any(near <= far) & (inst[ie, 6] > 0.0) & vis
+
+        def enter(best):
+            # transform the block into shape-local space (t preserved:
+            # the local direction is NOT normalized)
+            m = [inst[ie, 10 + c] for c in range(12)]
+            lox = (m[0] * oxv + m[1] * oyv) + (m[2] * ozv + m[3])
+            loy = (m[4] * oxv + m[5] * oyv) + (m[6] * ozv + m[7])
+            loz = (m[8] * oxv + m[9] * oyv) + (m[10] * ozv + m[11])
+            ldx = m[0] * dxv + m[1] * dyv + m[2] * dzv
+            ldy = m[4] * dxv + m[5] * dyv + m[6] * dzv
+            ldz = m[8] * dxv + m[9] * dyv + m[10] * dzv
+            lix = jnp.where(ldx == 0.0, big,
+                            1.0 / jnp.where(ldx == 0.0, 1.0, ldx))
+            liy = jnp.where(ldy == 0.0, big,
+                            1.0 / jnp.where(ldy == 0.0, 1.0, ldy))
+            liz = jnp.where(ldz == 0.0, big,
+                            1.0 / jnp.where(ldz == 0.0, 1.0, ldz))
+            cl0 = inst[ie, 7].astype(jnp.int32)
+            ccnt = inst[ie, 8].astype(jnp.int32)
+            toff = inst[ie, 9].astype(jnp.int32)
+
+            def cl_body(c, best):
+                jc = cl0 + c
+                u0x = (clust[jc, 0] - lox) * lix
+                u1x = (clust[jc, 3] - lox) * lix
+                u0y = (clust[jc, 1] - loy) * liy
+                u1y = (clust[jc, 4] - loy) * liy
+                u0z = (clust[jc, 2] - loz) * liz
+                u1z = (clust[jc, 5] - loz) * liz
+                nr = jnp.maximum(jnp.maximum(jnp.minimum(u0x, u1x),
+                                             jnp.minimum(u0y, u1y)),
+                                 jnp.maximum(jnp.minimum(u0z, u1z), tmin))
+                fr = jnp.minimum(jnp.minimum(jnp.maximum(u0x, u1x),
+                                             jnp.maximum(u0y, u1y)),
+                                 jnp.minimum(jnp.maximum(u0z, u1z),
+                                             best[0]))
+                chit = jnp.any(nr <= fr) & (clust[jc, 6] > 0.0)
+
+                def tris_do(best):
+                    bt, bu, bv, bi, be = best
+                    for kk in range(TRI_TILE):
+                        r = toff + c * TRI_TILE + kk
+                        scal = tuple(tris[r, cc] for cc in range(12)) + (
+                            jnp.float32(0xF),               # vis by entity
+                            r.astype(jnp.float32))
+                        prev_t = bt
+                        bt, bu, bv, bi = _tri_test(
+                            scal, mask_bit, lox, loy, loz, ldx, ldy, ldz,
+                            tmin, (bt, bu, bv, bi), any_hit)
+                        # instances of one shape share pool rows, so the
+                        # winner is identified by the t update, not bi
+                        be = jnp.where(bt < prev_t, ie, be)
+                    return (bt, bu, bv, bi, be)
+
+                return jax.lax.cond(chit, tris_do, lambda b: b, best)
+
+            return jax.lax.fori_loop(0, ccnt, cl_body, best)
+
+        return jax.lax.cond(anyhit, enter, lambda b: b, best)
+
+    bt, bu, bv, bi, be = jax.lax.fori_loop(0, ninst, inst_body, init)
+    out_t[:] = bt
+    out_u[:] = bu
+    out_v[:] = bv
+    out_i[:] = bi
+    out_e[:] = be
+
+
+def _pad_rays(a, n, rows, fill=0.0):
+    pad = rows * LANES - n
+    if pad:
+        a = jnp.concatenate([a, jnp.full((pad,), fill, a.dtype)])
+    return a.reshape(rows, LANES)
+
+
+def tlas_traverse(tables, org, d, tmin, tmax, mask_bit=0xF, any_hit=False,
+                  interpret=False):
+    """(t, u, v, pool_prim, instance) over the instanced pool; -1 = miss."""
+    org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
+    n = org.shape[0]
+    tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
+    tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
+    npad = n + ((-n) % BLOCK)
+    rows = npad // LANES
+    rays = (
+        _pad_rays(org[:, 0].astype(jnp.float32), n, rows),
+        _pad_rays(org[:, 1].astype(jnp.float32), n, rows),
+        _pad_rays(org[:, 2].astype(jnp.float32), n, rows),
+        _pad_rays(d[:, 0].astype(jnp.float32), n, rows),
+        _pad_rays(d[:, 1].astype(jnp.float32), n, rows),
+        _pad_rays(d[:, 2].astype(jnp.float32), n, rows),
+        _pad_rays(tmin, n, rows),
+        _pad_rays(tmax, n, rows, fill=-1.0),
+    )
+    grid = rows // SUBLANES
+    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
+    ishape = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+    mask_arr = jnp.asarray(mask_bit, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, any_hit=any_hit),
+        grid=(grid,),
+        in_specs=[smem1, tab_spec, tab_spec, tab_spec] + [ray_spec] * 8,
+        out_specs=(ray_spec,) * 5,
+        out_shape=(shape, shape, shape, ishape, ishape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(mask_arr, tables["tl_tris"], tables["tl_clust"], tables["tl_inst"],
+      *rays)
+    flat = lambda a: a.reshape(-1)[:n]
+    return tuple(flat(a) for a in out)
+
+
+def tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=0xF):
+    """Pure-XLA reference path (CPU tests / multi-chip dryrun): loops the
+    instances at trace time, transforms rays, brute-tests the shape slice.
+    Exact same results as the Pallas kernel."""
+    from ignis_tpu.ops.intersect import intersect_closest
+    org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
+    n = org.shape[0]
+    tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
+    tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
+    inst = np.asarray(tables["tl_inst"])
+    tris = tables["tl_tris"]
+    best = (tmax, jnp.zeros_like(tmin), jnp.zeros_like(tmin),
+            jnp.full((n,), -1, jnp.int32), jnp.full((n,), -1, jnp.int32))
+    mask_bit = jnp.asarray(mask_bit, jnp.int32)
+    for ie in range(inst.shape[0]):
+        if inst[ie, 6] <= 0.0:
+            continue
+        evis = (jnp.int32(int(inst[ie, 23])) & mask_bit) != 0
+        m = jnp.asarray(inst[ie, 10:22].reshape(3, 4))
+        lo = org @ m[:, :3].T + m[:, 3]
+        ld = d @ m[:, :3].T
+        toff = int(inst[ie, 9])
+        ccnt = int(inst[ie, 8])
+        tcount = ccnt * TRI_TILE
+        sl = tris[toff:toff + tcount]
+        # rebuild v0/e1/e2 equivalents is unnecessary: BW records hold the
+        # plane/barycentric functionals; evaluate them directly.
+        nvec = sl[:, 0:3]
+        d0 = sl[:, 3]
+        b1 = sl[:, 4:7]
+        b1c = sl[:, 7]
+        b2 = sl[:, 8:11]
+        b2c = sl[:, 11]
+        msk = sl[:, 12] > 0.0
+        k = ld @ nvec.T                               # (n, T)
+        mm = lo @ nvec.T + d0[None, :]
+        kk = jnp.where(k == 0.0, 1.0, k)
+        tt = -mm / kk
+        s1 = lo @ b1.T + b1c[None, :]
+        r1 = ld @ b1.T
+        u = s1 + tt * r1
+        s2 = lo @ b2.T + b2c[None, :]
+        r2 = ld @ b2.T
+        v = s2 + tt * r2
+        tol = 1.1920929e-07
+        ok = (evis & msk[None, :] & (k != 0.0) & (u >= -tol)
+              & (v >= -tol) & (u + v <= 1.0 + tol) & (tt >= tmin[:, None])
+              & (tt <= best[0][:, None]))
+        tt = jnp.where(ok, tt, jnp.inf)
+        j = jnp.argmin(tt, axis=1)
+        lanes = jnp.arange(n)
+        hit = ok[lanes, j]
+        bt = jnp.where(hit, tt[lanes, j], best[0])
+        bu = jnp.where(hit, jnp.maximum(u[lanes, j], 0.0), best[1])
+        bv = jnp.where(hit, jnp.maximum(v[lanes, j], 0.0), best[2])
+        bi = jnp.where(hit, toff + j.astype(jnp.int32), best[3])
+        be = jnp.where(hit, ie, best[4])
+        best = (bt, bu, bv, bi, be)
+    return best

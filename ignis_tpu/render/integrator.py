@@ -94,26 +94,49 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     if _use_pallas(org) and "pb_nodes" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, packet_bvh_closest
-        return packet_bvh_closest(tables, org, d, tmin, tmax,
-                                  mask_bit=(MASK_BOUNCE if mask_bit is None
-                                            else mask_bit))
-    if "bvh_node_min" in tables:
+        out = packet_bvh_closest(tables, org, d, tmin, tmax,
+                                 mask_bit=(MASK_BOUNCE if mask_bit is None
+                                           else mask_bit))
+    elif "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_closest
-        return bvh_closest(tables, org, d, tmin, tmax, tri_mask=tri_mask)
-    if _use_pallas(org) and "bw_tris" in tables:
+        out = bvh_closest(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    elif _use_pallas(org) and "bw_tris" in tables:
         from ignis_tpu.ops.bw_intersect import bw_closest
         from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE
-        return bw_closest(tables, org, d, tmin, tmax,
-                          mask_bit=(MASK_BOUNCE if mask_bit is None
-                                    else mask_bit))
-    if _use_pallas(org):
+        out = bw_closest(tables, org, d, tmin, tmax,
+                         mask_bit=(MASK_BOUNCE if mask_bit is None
+                                   else mask_bit))
+    elif _use_pallas(org):
         from ignis_tpu.ops.pallas_intersect import pallas_intersect_closest
-        return pallas_intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
-                                        tables["tri_e1"], tables["tri_e2"],
-                                        tri_mask=tri_mask)
-    return intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
-                             tables["tri_e1"], tables["tri_e2"],
-                             tri_mask=tri_mask)
+        out = pallas_intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
+                                       tables["tri_e1"], tables["tri_e2"],
+                                       tri_mask=tri_mask)
+    else:
+        out = intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
+                                tables["tri_e1"], tables["tri_e2"],
+                                tri_mask=tri_mask)
+    if "tl_inst" not in tables:
+        return out
+    # ---- instanced pool (two-level TLAS, ops/bw_tlas.py): combine with
+    # the soup result; pool hits are encoded past the soup id range as
+    # base + instance*pool_rows + pool_row so the instance binding
+    # survives the (t, u, v, prim) plumbing.
+    from ignis_tpu.ops.bw_tlas import tlas_traverse, tlas_traverse_xla
+    from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE
+    mb = MASK_BOUNCE if mask_bit is None else mask_bit
+    if _use_pallas(org):
+        tt, tu, tv, ti, te = tlas_traverse(tables, org, d, tmin, tmax,
+                                           mask_bit=mb)
+    else:
+        tt, tu, tv, ti, te = tlas_traverse_xla(tables, org, d, tmin, tmax,
+                                               mask_bit=mb)
+    t0, u0, v0, p0 = out
+    base = tables["tri_v0"].shape[0]
+    pool_rows = tables["tl_tris"].shape[0]
+    pick = (ti >= 0) & ((tt < t0) | (p0 < 0))
+    enc = base + te * pool_rows + ti
+    return (jnp.where(pick, tt, t0), jnp.where(pick, tu, u0),
+            jnp.where(pick, tv, v0), jnp.where(pick, enc, p0))
 
 
 def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
@@ -123,26 +146,38 @@ def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     if _use_pallas(org) and "pb_nodes" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_SHADOW, packet_bvh_any
-        return packet_bvh_any(tables, org, d, tmin, tmax,
-                              mask_bit=(MASK_SHADOW if mask_bit is None
-                                        else mask_bit))
-    if "bvh_node_min" in tables:
+        occ = packet_bvh_any(tables, org, d, tmin, tmax,
+                             mask_bit=(MASK_SHADOW if mask_bit is None
+                                       else mask_bit))
+    elif "bvh_node_min" in tables:
         from ignis_tpu.ops.bvh import bvh_any
-        return bvh_any(tables, org, d, tmin, tmax, tri_mask=tri_mask)
-    if _use_pallas(org) and "bw_tris" in tables:
+        occ = bvh_any(tables, org, d, tmin, tmax, tri_mask=tri_mask)
+    elif _use_pallas(org) and "bw_tris" in tables:
         from ignis_tpu.ops.bw_intersect import bw_any
         from ignis_tpu.ops.pallas_bvh import MASK_SHADOW
-        return bw_any(tables, org, d, tmin, tmax,
-                      mask_bit=(MASK_SHADOW if mask_bit is None
-                                else mask_bit))
-    if _use_pallas(org):
+        occ = bw_any(tables, org, d, tmin, tmax,
+                     mask_bit=(MASK_SHADOW if mask_bit is None
+                               else mask_bit))
+    elif _use_pallas(org):
         from ignis_tpu.ops.pallas_intersect import pallas_intersect_any
-        return pallas_intersect_any(org, d, tmin, tmax, tables["tri_v0"],
-                                    tables["tri_e1"], tables["tri_e2"],
-                                    tri_mask=tri_mask)
-    return intersect_any(org, d, tmin, tmax, tables["tri_v0"],
-                         tables["tri_e1"], tables["tri_e2"],
-                         tri_mask=tri_mask)
+        occ = pallas_intersect_any(org, d, tmin, tmax, tables["tri_v0"],
+                                   tables["tri_e1"], tables["tri_e2"],
+                                   tri_mask=tri_mask)
+    else:
+        occ = intersect_any(org, d, tmin, tmax, tables["tri_v0"],
+                            tables["tri_e1"], tables["tri_e2"],
+                            tri_mask=tri_mask)
+    if "tl_inst" not in tables:
+        return occ
+    from ignis_tpu.ops.bw_tlas import tlas_traverse, tlas_traverse_xla
+    from ignis_tpu.ops.pallas_bvh import MASK_SHADOW
+    mb = MASK_SHADOW if mask_bit is None else mask_bit
+    if _use_pallas(org):
+        out = tlas_traverse(tables, org, d, tmin, tmax, mask_bit=mb,
+                            any_hit=True)
+    else:
+        out = tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=mb)
+    return occ | (out[3] >= 0)
 
 
 def _use_pallas(org):
@@ -677,7 +712,8 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
 
 def render_wavefront(scene, tables, work_x, work_y, work_sample,
                      iteration, frame, user_seed, capacity, spi=1,
-                     tail_capacity=4096):
+                     tail_capacity=4096, work_mode="tables",
+                     work_total=None):
     """Render a full work list through a fixed-capacity regenerating wave.
 
     work_*: (W,) per-work-item pixel x/y and sample index.  Returns the
@@ -686,14 +722,25 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
     (mapping_cpu.art:694-836) — dead lanes immediately pick up fresh camera
     work, so tail bounces of long paths never run at low occupancy.
 
+    work_mode="arith" (production fast path): the work list is the
+    canonical pixel×sample enumeration, derived ARITHMETICALLY from the
+    work id (work_* may be None) and radiance lands in a per-work-item
+    slot buffer scattered with unique indices — the XLA TPU gather of the
+    work tables and the possibly-colliding pixel scatter both serialize
+    (~374 us per 65536 lanes, measured), so this path removes all
+    per-lane gathers/collisions from the regenerate step.
+
     Tail cascade: once the work list is exhausted and the survivor count
     fits `tail_capacity`, the alive lanes are compacted into a narrow wave
     so the long-path tail doesn't pay full-wave cost per bounce (measured:
     ~80% of iterations on glass scenes run at <4% occupancy otherwise).
     """
     tech = scene.technique
-    w_total = work_x.shape[0]
     npix = scene.width * scene.height
+    arith = work_mode == "arith"
+    w_total = int(work_total) if arith else work_x.shape[0]
+    if arith:
+        assert w_total == npix * spi, "arith work mode is pixel x sample"
     c = capacity
 
     trivial = _flags_trivial(scene)
@@ -720,9 +767,12 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         medium=jnp.full((c,), -1, jnp.int32),
         voldepth=jnp.zeros((c,), jnp.int32),
         nullfl=jnp.zeros((c,), bool),
-        pixel=jnp.zeros((c,), jnp.int32),
+        # In arith mode `pixel` holds the WORK-ITEM id (unique per lane at
+        # all times — init slots sit past the buffer so jnp drops them)
+        pixel=(jnp.int32(w_total) + jnp.arange(c, dtype=jnp.int32)
+               if arith else jnp.zeros((c,), jnp.int32)),
         next_work=jnp.int32(0),
-        fb=jnp.zeros((npix, 3), jnp.float32),
+        fb=jnp.zeros((w_total if arith else npix, 3), jnp.float32),
         # stats: [wave iterations, alive-lane visits, tail iterations]
         # (Statistics.h quantity analogs, carried as cheap scalars)
         stats=jnp.zeros((3,), jnp.float32),
@@ -735,9 +785,15 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         wid = st["next_work"] + rank
         take = dead & (wid < w_total)
         wid_c = jnp.clip(wid, 0, w_total - 1)
-        gx = work_x[wid_c]
-        gy = work_y[wid_c]
-        gs = work_sample[wid_c]
+        if arith:
+            pix = wid_c % npix
+            gx = pix % scene.width
+            gy = pix // scene.width
+            gs = (wid_c // npix).astype(jnp.uint32)
+        else:
+            gx = work_x[wid_c]
+            gy = work_y[wid_c]
+            gs = work_sample[wid_c]
         seed_n, counter_n, org_n, dir_n, tmin_n, tmax_n = _emit_camera(
             scene, gx, gy, gs, iteration, frame, user_seed, tables, spi)
 
@@ -756,7 +812,8 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st["medium"] = jnp.where(take, -1, st["medium"])
         st["voldepth"] = jnp.where(take, 0, st["voldepth"])
         st["nullfl"] = jnp.where(take, False, st["nullfl"])
-        st["pixel"] = jnp.where(take, gy * scene.width + gx, st["pixel"])
+        st["pixel"] = jnp.where(take, wid_c if arith
+                                else gy * scene.width + gx, st["pixel"])
         st["alive"] = st["alive"] | take
         st["next_work"] = st["next_work"] + jnp.sum(take.astype(jnp.int32))
 
@@ -764,7 +821,8 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         splat, st_next = _bounce_core(scene, tables, st, prim_mask,
                                       shadow_mask)
         fb = st["fb"].at[st["pixel"]].add(
-            jnp.where(st["alive"][..., None], splat, 0.0))
+            jnp.where(st["alive"][..., None], splat, 0.0),
+            unique_indices=arith)
         st_next["pixel"] = st["pixel"]
         st_next["next_work"] = st["next_work"]
         st_next["fb"] = fb
@@ -773,12 +831,16 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
                 st["alive"].astype(jnp.float32))
         return st_next
 
+    def _fb_out(fb):
+        # arith mode: per-work-item slots → per-pixel sums
+        return fb.reshape(spi, npix, 3).sum(axis=0) if arith else fb
+
     tail_cap = int(min(tail_capacity, c))
     if tail_cap >= c:
         def cond(st):
             return (st["next_work"] < w_total) | jnp.any(st["alive"])
         state = jax.lax.while_loop(cond, body, state)
-        return state["fb"], state["stats"]
+        return _fb_out(state["fb"]), state["stats"]
 
     def cond_wide(st):
         return ((st["next_work"] < w_total)
@@ -799,7 +861,8 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         splat, st_next = _bounce_core(scene, tables, st, prim_mask,
                                       shadow_mask)
         st_next["fb"] = st["fb"].at[st["pixel"]].add(
-            jnp.where(st["alive"][..., None], splat, 0.0))
+            jnp.where(st["alive"][..., None], splat, 0.0),
+            unique_indices=arith)
         st_next["pixel"] = st["pixel"]
         st_next["stats"] = st["stats"] + jnp.float32([0.0, 0.0, 1.0])
         return st_next
@@ -808,7 +871,7 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         return jnp.any(st["alive"])
 
     tail = jax.lax.while_loop(tail_cond, tail_body, tail)
-    return tail["fb"], tail["stats"]
+    return _fb_out(tail["fb"]), tail["stats"]
 
 
 def _gather_mat_type(scene, tables, mat_id):

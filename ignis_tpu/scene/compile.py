@@ -717,6 +717,30 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     ent_names = list(scene.entities_order)
     num_entities = len(ent_names)
     ent_index = {n: i for i, n in enumerate(ent_names)}
+
+    # Instancing split (SceneBVHAdapter.h:88-131 semantics, TPU redesign
+    # in ops/bw_tlas.py): entities whose shape is reused by >= 2 eligible
+    # entities keep ONE local copy of the mesh plus a per-instance
+    # transform record instead of a world-space bake.  Emissive entities
+    # (area-light targets) and media-interface entities stay baked so the
+    # light/medium tables keep their world-space assumptions.
+    light_entities = {str(scene.lights[ln].get("entity", ""))
+                      for ln in scene.lights_order}
+    shape_users: dict[str, list] = {}
+    for ename in ent_names:
+        eobj = scene.entities[ename]
+        eligible = (ename not in light_entities
+                    and not eobj.get("inner_medium")
+                    and not eobj.get("outer_medium"))
+        if eligible:
+            shape_users.setdefault(eobj.get("shape"), []).append(ename)
+    instanced_ents = {en for sname, users in shape_users.items()
+                      if len(users) >= 2 for en in users}
+    inst_shapes: list = []          # unique shape dicts for build_tlas
+    inst_shape_idx: dict[str, int] = {}
+    inst_records: list = []         # (shape_idx, toLocal, toWorld, nmat,
+    #                                  ent, flags)
+    inst_bbox_pts: list = []
     tri_chunks = []
     ent_mat = np.zeros(max(1, num_entities), dtype=np.int32)
     ent_flags = np.full(max(1, num_entities), 0xF, dtype=np.int32)
@@ -735,7 +759,6 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             raise SceneError(f"Entity '{ename}' references unknown shape '{sname}'")
         mesh = shape_meshes[sname]
         m4 = parse_transform(eobj.get("transform"))
-        world = mesh.transformed(m4)
         # world→local matrix + local shape bbox (for Np normalization,
         # driver/pointmapper.art:4-7)
         inv = np.linalg.inv(m4)
@@ -743,6 +766,50 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         if mesh.vertices.size:
             ent_lbbox_min[ei] = mesh.vertices.min(axis=0)
             ent_lbbox_max[ei] = mesh.vertices.max(axis=0)
+
+        flags = 0
+        if eobj.get("camera_visible", True):
+            flags |= 0x1
+        if eobj.get("light_visible", True):
+            flags |= 0x2
+        if eobj.get("bounce_visible", True):
+            flags |= 0x4
+        if eobj.get("shadow_visible", True):
+            flags |= 0x8
+        ent_flags[ei] = flags
+        bname = eobj.get("bsdf")
+        ent_mat[ei] = bsdf_index.get(bname, 0)
+
+        if ename in instanced_ents and mesh.face_count > 0:
+            if sname not in inst_shape_idx:
+                mesh.ensure_normals()
+                mesh.ensure_texcoords()
+                iv = mesh.indices
+                lv0 = mesh.vertices[iv[:, 0]]
+                lv1 = mesh.vertices[iv[:, 1]]
+                lv2 = mesh.vertices[iv[:, 2]]
+                inst_shape_idx[sname] = len(inst_shapes)
+                inst_shapes.append(dict(
+                    v0=lv0, e1=lv1 - lv0, e2=lv2 - lv0,
+                    n0=mesh.normals[iv[:, 0]],
+                    n1=mesh.normals[iv[:, 1]],
+                    n2=mesh.normals[iv[:, 2]],
+                    uv0=mesh.texcoords[iv[:, 0]],
+                    uv1=mesh.texcoords[iv[:, 1]],
+                    uv2=mesh.texcoords[iv[:, 2]]))
+            nmat = np.linalg.inv(m4[:3, :3]).T
+            inst_records.append((inst_shape_idx[sname],
+                                 inv[:3, :].astype(np.float32),
+                                 m4[:3, :].astype(np.float32),
+                                 nmat.astype(np.float32), ei, flags))
+            corners = mesh.vertices @ m4[:3, :3].T + m4[:3, 3]
+            inst_bbox_pts.append(corners.min(axis=0))
+            inst_bbox_pts.append(corners.max(axis=0))
+            ent_tri_offset[ei] = offset
+            ent_tri_count[ei] = 0
+            continue
+
+        world = mesh.transformed(m4)
         v0 = world.vertices[world.indices[:, 0]]
         v1 = world.vertices[world.indices[:, 1]]
         v2 = world.vertices[world.indices[:, 2]]
@@ -756,19 +823,8 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         tri_chunks.append((v0, v1 - v0, v2 - v0, n0, n1, n2, t0, t1, t2,
                            np.full(f, ei, dtype=np.int32),
                            np.arange(f, dtype=np.int32)))
-        bname = eobj.get("bsdf")
-        ent_mat[ei] = bsdf_index.get(bname, 0)
-        # visibility flags (LoaderEntity.cpp:123-131)
-        flags = 0
-        if eobj.get("camera_visible", True):
-            flags |= 0x1
-        if eobj.get("light_visible", True):
-            flags |= 0x2
-        if eobj.get("bounce_visible", True):
-            flags |= 0x4
-        if eobj.get("shadow_visible", True):
-            flags |= 0x8
-        ent_flags[ei] = flags
+        # (visibility flags per LoaderEntity.cpp:123-131 and material
+        # binding were resolved before the instancing split above)
         ent_tri_offset[ei] = offset
         ent_tri_count[ei] = f
         offset += f
@@ -795,10 +851,14 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         tri_ent = np.zeros(1, np.int32)
         tri_prim = np.zeros(1, np.int32)
 
+    bpts = []
     if tri_v0.shape[0] > 0:
         pts = np.concatenate([tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2])
-        bbox_min = pts.min(axis=0)
-        bbox_max = pts.max(axis=0)
+        bpts += [pts.min(axis=0), pts.max(axis=0)]
+    bpts += inst_bbox_pts
+    if bpts:
+        bbox_min = np.min(np.stack(bpts), axis=0).astype(np.float32)
+        bbox_max = np.max(np.stack(bpts), axis=0).astype(np.float32)
     else:
         bbox_min = np.zeros(3, np.float32)
         bbox_max = np.zeros(3, np.float32)
@@ -1333,6 +1393,10 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     cs.djmeasured_info = dj_info
     cs.parameter_values = scene_params
     cs.param_registry = param_registry
+    # instanced-pool info for the two-level TLAS (ops/bw_tlas.py); None
+    # when every entity bakes to the world soup
+    cs.instanced = (dict(shapes=inst_shapes, records=inst_records)
+                    if inst_records else None)
     return cs
 
 

@@ -156,9 +156,10 @@ def main():
 
         def body(i, c):
             fb, st = render_wavefront(
-                scene, tables, wx, wy, ws,
+                scene, tables, None, None, None,
                 i.astype(jnp.uint32) + (0.0 * c).astype(jnp.uint32), jnp.uint32(0),
-                0, capacity=65536, spi=1)
+                0, capacity=65536, spi=1, work_mode="arith",
+                work_total=npix)
             return c + jnp.sum(fb) * jnp.float32(1e-12)
         dt, tl, th = diff_time(body, lo=1, hi=4)
         print(json.dumps({"mode": mode,
