@@ -104,8 +104,16 @@ class Runtime:
         if getattr(self.scene, "instanced", None):
             from ignis_tpu.ops.bw_tlas import build_tlas
             tables = dict(tables)
-            tables.update(build_tlas(self.scene.instanced["shapes"],
-                                     self.scene.instanced["records"]))
+            tl = build_tlas(self.scene.instanced["shapes"],
+                            self.scene.instanced["records"])
+            tables.update(tl)
+            ia = tl["tl_inst"]
+            # static structure for the XLA fallback (traced-safe)
+            self.scene.tlas_meta = dict(
+                valid=[bool(v > 0) for v in ia[:, 6]],
+                mask=[int(v) for v in ia[:, 23]],
+                toff=[int(v) for v in ia[:, 9]],
+                ccnt=[int(v) for v in ia[:, 8]])
         # Consolidated per-triangle shading table: _surface_at needs 12
         # row gathers per bounce; packing them into ONE (T, 28) row makes
         # it a single gather (one-hot matmul for small T — XLA's native

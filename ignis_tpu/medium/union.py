@@ -171,15 +171,22 @@ def medium_sample(scene, tables, medium_id, sigma_a, sigma_s, seed, counter,
 
     dir_u = p_end - p_start
     dist = length(dir_u)
+    # where-substitute (not clamp) the zero-extinction lanes: a clamp to
+    # 1e-30 keeps the PRIMAL finite but d(L/sigma)/d sigma = -L/sigma^2
+    # still overflows, and the zero cotangent from the enclosing min/where
+    # turns that inf into NaN in reverse mode (0 * inf)
+    sigma_t_s = jnp.where(sigma_t_p > 1e-6, sigma_t_p, 1.0)
     ndist = jnp.minimum(dist, -jnp.log(jnp.maximum(1.0 - u * 0.99999, 1e-30))
-                        / jnp.maximum(sigma_t_p, 1e-30))
+                        / sigma_t_s)
     valid = (has_scatter & active
              & (jnp.abs(dist - ndist) > _EPS))
     d = dir_u * safe_div(1.0, dist)[..., None]
     pos = p_start + d * ndist[..., None]
     tr = jnp.exp(-sigma_t * ndist[..., None])
     pdf = tr[lanes, sigma_ind] * sigma_t_p
-    color = tr * safe_div(1.0, pdf)[..., None]
+    inv_pdf_s = jnp.where(pdf > 1e-20,
+                          1.0 / jnp.where(pdf > 1e-20, pdf, 1.0), 0.0)
+    color = tr * inv_pdf_s[..., None]
 
     out_sa, out_ss = sigma_a, sigma_s
     out_sn = jnp.zeros((n, 3), jnp.float32)
@@ -194,15 +201,16 @@ def medium_sample(scene, tables, medium_id, sigma_a, sigma_s, seed, counter,
         lstart = to_normalized_point(tables, med["ref_entity"], p_start)
         inside = inside_unit(lstart)
         draws = m & active & inside
-        sampled = -jnp.log(jnp.maximum(1.0 - u * 0.99999, 1e-30)) \
-            / jnp.maximum(mu_t_p, 1e-30)
+        mu_t_s = jnp.where(mu_t_p > 1e-6, mu_t_p, 1.0)
+        sampled = -jnp.log(jnp.maximum(1.0 - u * 0.99999, 1e-30)) / mu_t_s
         v_m = draws & (sampled < dist) & (mu_t_p > FLT_EPS)
         pos_m = p_start + d * sampled[..., None]
         ss_m, sa_m, em_m = _hetero_props_at(scene, tables, mi, med, pos_m)
         sn_m = jnp.maximum(maj - (ss_m + sa_m), 0.0)
         pdf_m = (1.0 - u * 0.99999) * mu_t_p
-        color_m = jnp.exp(-maj * sampled[..., None]) \
-            * safe_div(1.0, pdf_m)[..., None]
+        inv_pm = jnp.where(pdf_m > 1e-20,
+                           1.0 / jnp.where(pdf_m > 1e-20, pdf_m, 1.0), 0.0)
+        color_m = jnp.exp(-maj * sampled[..., None]) * inv_pm[..., None]
 
         mc = m[..., None]
         valid = jnp.where(m, v_m, valid)

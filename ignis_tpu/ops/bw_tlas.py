@@ -275,30 +275,39 @@ def tlas_traverse(tables, org, d, tmin, tmax, mask_bit=0xF, any_hit=False,
     return tuple(flat(a) for a in out)
 
 
-def tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=0xF):
+def tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=0xF,
+                      meta=None):
     """Pure-XLA reference path (CPU tests / multi-chip dryrun): loops the
     instances at trace time, transforms rays, brute-tests the shape slice.
-    Exact same results as the Pallas kernel."""
-    from ignis_tpu.ops.intersect import intersect_closest
+    Exact same results as the Pallas kernel.
+
+    `meta` carries the STATIC per-instance structure (valid/mask/toff/
+    ccnt python lists, Runtime.scene.tlas_meta) because inside jit the
+    tables are tracers; transforms stay traced."""
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     n = org.shape[0]
     tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
     tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
-    inst = np.asarray(tables["tl_inst"])
+    inst = tables["tl_inst"]
     tris = tables["tl_tris"]
+    if meta is None:
+        ia = np.asarray(inst)
+        meta = dict(valid=[bool(v > 0) for v in ia[:, 6]],
+                    mask=[int(v) for v in ia[:, 23]],
+                    toff=[int(v) for v in ia[:, 9]],
+                    ccnt=[int(v) for v in ia[:, 8]])
     best = (tmax, jnp.zeros_like(tmin), jnp.zeros_like(tmin),
             jnp.full((n,), -1, jnp.int32), jnp.full((n,), -1, jnp.int32))
     mask_bit = jnp.asarray(mask_bit, jnp.int32)
-    for ie in range(inst.shape[0]):
-        if inst[ie, 6] <= 0.0:
+    for ie in range(len(meta["toff"])):
+        if not meta["valid"][ie]:
             continue
-        evis = (jnp.int32(int(inst[ie, 23])) & mask_bit) != 0
-        m = jnp.asarray(inst[ie, 10:22].reshape(3, 4))
+        evis = (jnp.int32(meta["mask"][ie]) & mask_bit) != 0
+        m = inst[ie, 10:22].reshape(3, 4)
         lo = org @ m[:, :3].T + m[:, 3]
         ld = d @ m[:, :3].T
-        toff = int(inst[ie, 9])
-        ccnt = int(inst[ie, 8])
-        tcount = ccnt * TRI_TILE
+        toff = meta["toff"][ie]
+        tcount = meta["ccnt"][ie] * TRI_TILE
         sl = tris[toff:toff + tcount]
         # rebuild v0/e1/e2 equivalents is unnecessary: BW records hold the
         # plane/barycentric functionals; evaluate them directly.

@@ -128,8 +128,9 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
         tt, tu, tv, ti, te = tlas_traverse(tables, org, d, tmin, tmax,
                                            mask_bit=mb)
     else:
-        tt, tu, tv, ti, te = tlas_traverse_xla(tables, org, d, tmin, tmax,
-                                               mask_bit=mb)
+        tt, tu, tv, ti, te = tlas_traverse_xla(
+            tables, org, d, tmin, tmax, mask_bit=mb,
+            meta=getattr(scene, "tlas_meta", None))
     t0, u0, v0, p0 = out
     base = tables["tri_v0"].shape[0]
     pool_rows = tables["tl_tris"].shape[0]
@@ -176,7 +177,8 @@ def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
         out = tlas_traverse(tables, org, d, tmin, tmax, mask_bit=mb,
                             any_hit=True)
     else:
-        out = tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=mb)
+        out = tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=mb,
+                                meta=getattr(scene, "tlas_meta", None))
     return occ | (out[3] >= 0)
 
 
@@ -194,13 +196,52 @@ def _surface_at(tables, prim, org, direction, t, u, v):
     separate XLA gathers were the single largest cost of a bounce on TPU.
     """
     if "tri_shade" in tables:
-        row = gather_rows(tables["tri_shade"], prim)
+        base = tables["tri_shade"].shape[0]
+        row = gather_rows(tables["tri_shade"], jnp.minimum(prim, base - 1))
         v0, e1, e2 = row[:, 0:3], row[:, 3:6], row[:, 6:9]
         n0, n1, n2 = row[:, 9:12], row[:, 12:15], row[:, 15:18]
         uv0, uv1, uv2 = row[:, 18:20], row[:, 20:22], row[:, 22:24]
         ent = row[:, 24].astype(jnp.int32)
         mat_id = row[:, 25].astype(jnp.int32)
         light_id = row[:, 26].astype(jnp.int32)
+        if "tl_inst" in tables:
+            # pooled (instanced) hits: decode instance/row, fetch LOCAL
+            # attributes from the shared pool and lift them to world space
+            # with the instance's transform (normals via the inverse-
+            # transpose; edges via toWorld so the shared cross-product
+            # math below yields correct world face normal AND area)
+            pool_rows = tables["tl_tris"].shape[0]
+            pooled = prim >= base
+            enc = jnp.maximum(prim - base, 0)
+            inst = enc // pool_rows
+            lrow_i = enc % pool_rows
+            prow = gather_rows(tables["tl_shade"], lrow_i)
+            irow = gather_rows(tables["tl_inst"], inst)
+            nrow = gather_rows(tables["tl_norm"], inst)
+            nm = nrow[:, 0:9].reshape(-1, 3, 3)
+            tw = nrow[:, 10:22].reshape(-1, 3, 4)
+            aply = lambda M, x: jnp.einsum("nij,nj->ni", M, x)
+            pv0 = aply(tw[:, :, :3], prow[:, 0:3]) + tw[:, :, 3]
+            pe1 = aply(tw[:, :, :3], prow[:, 3:6])
+            pe2 = aply(tw[:, :, :3], prow[:, 6:9])
+            pn0 = normalize(aply(nm, prow[:, 9:12]))
+            pn1 = normalize(aply(nm, prow[:, 12:15]))
+            pn2 = normalize(aply(nm, prow[:, 15:18]))
+            sel = pooled[..., None]
+            v0 = jnp.where(sel, pv0, v0)
+            e1 = jnp.where(sel, pe1, e1)
+            e2 = jnp.where(sel, pe2, e2)
+            n0 = jnp.where(sel, pn0, n0)
+            n1 = jnp.where(sel, pn1, n1)
+            n2 = jnp.where(sel, pn2, n2)
+            uv0 = jnp.where(sel, prow[:, 18:20], uv0)
+            uv1 = jnp.where(sel, prow[:, 20:22], uv1)
+            uv2 = jnp.where(sel, prow[:, 22:24], uv2)
+            p_ent = irow[:, 22].astype(jnp.int32)
+            ent = jnp.where(pooled, p_ent, ent)
+            mat_id = jnp.where(
+                pooled, gather_rows(tables["ent_mat"], p_ent), mat_id)
+            light_id = jnp.where(pooled, -1, light_id)  # pool is non-emissive
     else:
         v0 = tables["tri_v0"][prim]
         e1 = tables["tri_e1"][prim]
@@ -447,17 +488,23 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
         null_ev = medium_event & ~absorb & ~scatter
 
         # absorption event: emission splat (volpathtracer.art:216-221)
+        # NOTE: 1/max(p, 1e-30) keeps the PRIMAL finite but its VJP is
+        # -1/p^2 = 1e60, which overflows f32 to inf and NaNs the zero
+        # cotangent of masked lanes; where-substitute instead.
+        inv_pa = jnp.where(p_a > 1e-6,
+                           1.0 / jnp.where(p_a > 1e-6, p_a, 1.0), 0.0)
         em_c = (contrib * ms["color"] * ms["sigma_a"] * ms["emission"]
-                * safe_div(1.0, jnp.maximum(p_a, 1e-30))[..., None])
+                * inv_pa[..., None])
         splat = splat + jnp.where(absorb[..., None],
                                   _handle_color(em_c, tech.clamp), 0.0)
 
         # scatter branch: phase sample + RR
         ph_dir, ph_pdf, ph_w, counter = phase_sample(m_g, seed, counter,
                                                      out_dir, scatter)
+        inv_ps = jnp.where(p_s > 1e-6,
+                           1.0 / jnp.where(p_s > 1e-6, p_s, 1.0), 0.0)
         path_contrib = (ms["color"] * ms["sigma_s"]
-                        * safe_div(1.0, jnp.maximum(p_s, 1e-30))[..., None]
-                        * ph_w[..., None])
+                        * inv_ps[..., None] * ph_w[..., None])
         contrib_m = contrib * path_contrib
         rr_m = jax.lax.stop_gradient(jnp.clip(
             jnp.max(contrib_m * (eta * eta)[..., None], axis=-1), 0.05, 0.95))
@@ -491,8 +538,10 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
         # null-scattering event: continue forward from the fictional
         # collision with reweighted contribution, voldepth unchanged
         # (volpathtracer.art:249-259 — the sample_rec recursion)
+        inv_pf = jnp.where(p_f > 1e-6,
+                           1.0 / jnp.where(p_f > 1e-6, p_f, 1.0), 0.0)
         null_contrib = (contrib * ms["color"] * ms["sigma_n"]
-                        * safe_div(1.0, jnp.maximum(p_f, 1e-30))[..., None])
+                        * inv_pf[..., None])
 
         alive_next = scatter_alive | surf_alive | null_ev
         sc_c = scatter_alive[..., None]

@@ -167,6 +167,56 @@ def main():
                           "ms_per_step": round(dt * 1e3, 1)}), flush=True)
         return
 
+    if mode == "tlas1000":
+        # 1000 instances of a 320-tri icosphere: end-to-end wavefront rate
+        from ignis_tpu.api import Runtime as RT
+        from ignis_tpu.render.integrator import render_wavefront
+        rng2 = np.random.default_rng(4)
+        ents = [{"name": "floor", "shape": "floor", "bsdf": "white"}]
+        shapes2 = [{"type": "rectangle", "name": "floor", "width": 120,
+                    "height": 120, "transform": [{"rotate": [-90, 0, 0]},
+                                                 {"translate": [0, -1, 0]}]},
+                   {"type": "icosphere", "name": "ball", "radius": 0.45,
+                    "subdivisions": 2}]
+        for i2 in range(1000):
+            gx2, gz2 = i2 % 32, i2 // 32
+            ents.append({"name": f"b{i2}", "shape": "ball", "bsdf": "white",
+                         "transform": [{"translate": [
+                             gx2 * 1.5 - 24.0,
+                             float(rng2.uniform(0, 0.4)),
+                             gz2 * 1.5 - 24.0]}]})
+        sc2 = {"technique": {"type": "path", "max_depth": 4},
+               "camera": {"type": "perspective", "fov": 60,
+                          "transform": {"rotate": [30, 0, 0],
+                                        "translate": [0, 14, -26]}},
+               "film": {"size": [512, 512]},
+               "bsdfs": [{"type": "diffuse", "name": "white",
+                          "reflectance": [0.7, 0.7, 0.7]}],
+               "shapes": shapes2, "entities": ents,
+               "lights": [{"type": "env", "name": "sky",
+                           "radiance": [1.0, 1.0, 1.0]}]}
+        rt2 = RT(sc2)
+        sc, tb = rt2.scene, rt2.tables
+        ntl = int(tb["tl_inst"].shape[0])
+        npx = sc.width * sc.height
+
+        def body(i, c):
+            fb, _ = render_wavefront(
+                sc, tb, None, None, None,
+                i.astype(jnp.uint32) + (0.0 * c).astype(jnp.uint32),
+                jnp.uint32(0), 0, capacity=65536, spi=1,
+                work_mode="arith", work_total=npx)
+            return c + jnp.sum(fb) * jnp.float32(1e-12)
+        dt, tl_, th_ = diff_time(body, lo=1, hi=3)
+        rt2.step(spi=1)
+        fin = bool(np.isfinite(rt2.currentFrame()).all())
+        print(json.dumps({"mode": mode, "instances": ntl,
+                          "pool_tris": int(tb["tl_tris"].shape[0]),
+                          "soup_tris": int(tb["tri_v0"].shape[0]),
+                          "msps": round(npx / dt / 1e6, 3),
+                          "finite": fin}), flush=True)
+        return
+
     if mode == "shade":
         # _bounce_core with traversal stubbed out: the pure shading cost
         # of one wave iteration at 65536 lanes
