@@ -23,12 +23,29 @@ _DEFAULT_TILE = 1 << 16
 
 # Renderer programs are large (bounce loop x material/light unions); first
 # compiles run 1-4 minutes on TPU.  The persistent cache makes every
-# subsequent process start instant for the same scene shape.
+# subsequent process start instant for the same scene shape — but it is
+# scoped to TPU ONLY: the CPU backend was observed loading cached AOT
+# results compiled for mismatched machine features ("could lead to
+# execution errors", cpu_aot_loader.cc) and producing silently WRONG
+# renders in some processes; CPU compiles are cheap anyway.
 import os as _os
-jax.config.update("jax_compilation_cache_dir",
-                  _os.environ.get("IGNIS_TPU_CACHE",
-                                  _os.path.expanduser("~/.cache/ignis_tpu_xla")))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_cache_dir = _os.environ.get("IGNIS_TPU_CACHE",
+                             _os.path.expanduser("~/.cache/ignis_tpu_xla"))
+_enabled = False
+
+
+def _enable_cache_if_tpu():
+    global _enabled
+    if _enabled:
+        return
+    try:
+        if jax.default_backend() == "tpu":
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _enabled = True
 
 # IGNIS_TPU_PLATFORM=cpu forces the CPU backend (some TPU plugins override the
 # JAX_PLATFORMS env var, so this goes through the config API).
@@ -52,6 +69,7 @@ _BW_MAX_TRIS = 16384
 class Runtime:
     def __init__(self, source, width=None, height=None, seed=0,
                  tile_size=_DEFAULT_TILE, use_bvh=None):
+        _enable_cache_if_tpu()
         import time as _time
         _t_load = _time.perf_counter()
         self.scene: CompiledScene = load_and_compile(source, width, height)

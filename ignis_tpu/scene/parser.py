@@ -74,6 +74,13 @@ class Scene:
         self.camera: dict = data.get("camera") or {"type": "perspective"}
         self.film: dict = data.get("film") or {}
         self.parameters: dict = data.get("parameters") or {}
+        # explicit-markers so scalar sections survive NESTED externals
+        # (three-planes-base.json has no technique itself but inherits
+        # max_depth 4 from two-planes-base.json — checking the raw child
+        # dict alone drops it)
+        self.has_technique = "technique" in data
+        self.has_camera = "camera" in data
+        self.has_film = "film" in data
         for section in _LIST_SECTIONS:
             items = data.get(section) or []
             if not isinstance(items, list):
@@ -119,12 +126,15 @@ def load_scene_dict(data: dict, base_dir: str | os.PathLike = ".") -> Scene:
         # scalar sections also merge first-wins (Parser.cpp handles
         # externals by pre-populating the scene; the cbox-d* evaluation
         # scenes define camera/film only in cbox-base.json)
-        if "camera" not in data and "camera" in (child.data or {}):
+        if not scene.has_camera and child.has_camera:
             scene.camera = child.camera
-        if "film" not in data and "film" in (child.data or {}):
+            scene.has_camera = True
+        if not scene.has_film and child.has_film:
             scene.film = child.film
-        if "technique" not in data and "technique" in (child.data or {}):
+            scene.has_film = True
+        if not scene.has_technique and child.has_technique:
             scene.technique = child.technique
+            scene.has_technique = True
         if "parameters" not in data and child.parameters:
             scene.parameters = child.parameters
     return scene
