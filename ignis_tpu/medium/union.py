@@ -238,15 +238,21 @@ def phase_sample(g, seed, counter, out_dir, active):
 
     iso_dir, iso_pdf = sample_uniform_sphere(u1, u2)
 
-    g_ = g
-    sqr = (1.0 - g_ * g_) / jnp.maximum(1.0 + g_ - 2.0 * g_ * u1, 1e-20)
-    cos_t = -(1.0 + g_ * g_ - sqr * sqr) / jnp.maximum(2.0 * g_, 1e-20)
+    # where-substitute g for the HG branch: max(2g, 1e-20) breaks
+    # NEGATIVE g outright (back-scattering media sampled the wrong lobe)
+    # and its VJP (-1/den^2 = 1e40) overflows f32 to inf, NaN-ing the
+    # masked isotropic lanes' zero cotangent
+    is_iso = jnp.abs(g) <= 1e-3
+    g_ = jnp.where(is_iso, 0.5, g)
+    den = 1.0 + g_ - 2.0 * g_ * u1
+    den = jnp.where(jnp.abs(den) > 1e-6, den, 1e-6)
+    sqr = (1.0 - g_ * g_) / den
+    cos_t = -(1.0 + g_ * g_ - sqr * sqr) / (2.0 * g_)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     phi = 2.0 * jnp.pi * u2
     hg_dir = vec3(sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
     hg_pdf = _hg(g_, absolute_cos(hg_dir, out_dir))
 
-    is_iso = jnp.abs(g_) <= 1e-3
     in_dir = jnp.where(is_iso[..., None], iso_dir, hg_dir)
     pdf = jnp.where(is_iso, iso_pdf, hg_pdf)
     weight = jnp.ones_like(pdf)

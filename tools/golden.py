@@ -96,12 +96,16 @@ TOLERANCES = {
     # noise-free Radiance solutions needs O(10^3) spp; MEANS match (klems
     # quadrants <=1%; tensortree 3/4 quadrants <=2.5%, one ~13% dark —
     # tracked).  Bound the mean tightly, the pixelwise error loosely.
-    "plane-array-klems-front": dict(rel_mean=0.1, relmse=8.0),
-    "plane-array-klems-back": dict(rel_mean=0.1, relmse=45.0),
-    "plane-array-tensortree-front": dict(rel_mean=0.1, relmse=8.0),
-    "plane-array-tensortree-back": dict(rel_mean=0.15, relmse=45.0),
-    "plane-array-tensortree-t3-front": dict(rel_mean=0.1, relmse=8.0),
-    "plane-array-tensortree-t3-back": dict(rel_mean=0.2, relmse=80.0),
+    # r4: after the nested-externals technique/camera fix these measure
+    # rel_mean <= 0.04 and relmse <= 0.7 on BOTH sides — the r3 "6-16%
+    # back-side deviation / untransposed-component" narrative was the
+    # externals bug rendering the comparisons on the wrong config.
+    "plane-array-klems-front": dict(rel_mean=0.05, relmse=2.0),
+    "plane-array-klems-back": dict(rel_mean=0.05, relmse=2.0),
+    "plane-array-tensortree-front": dict(rel_mean=0.08, relmse=2.0),
+    "plane-array-tensortree-back": dict(rel_mean=0.08, relmse=2.0),
+    "plane-array-tensortree-t3-front": dict(rel_mean=0.08, relmse=2.0),
+    "plane-array-tensortree-t3-back": dict(rel_mean=0.08, relmse=2.0),
     # glass/dielectric stacks vs RADIANCE: the 10000-radiance sphere source
     # multiplies into many specular images through the parallel panes (TIR
     # chains to depth 64); Radiance truncates specular depth (-lr) and
@@ -111,9 +115,17 @@ TOLERANCES = {
     # Our glass is energy-conserving (in-tree furnace oracle: T+R=0.99).
     # Track means loosely on the dielectric stacks, structure informative.
     "flipped-prim-glass": dict(rel_mean=0.15, relmse=1.0),
-    "three-planes-glass": dict(rel_mean=1.0, relmse=20.0),
-    "three-planes-dielectric": dict(rel_mean=10.0, relmse=20.0),
-    "three-planes-interface": dict(rel_mean=6.0, relmse=20.0),
+    # r4: the externals depth bug (nested technique merge) had these
+    # rendering at depth 64 instead of the scene's 4; at the CORRECT
+    # depth the means land at 0.44/0.64/1.43 (GOLDEN_INVESTIGATION +
+    # board).  Remaining delta decomposes into a 2.4x diffuse-field
+    # excess and source-image blobs (we antialias the sub-pixel sphere
+    # source over ~18 px, Radiance resolves it in ONE unfiltered pixel
+    # at 256^2) — open root-cause item for r5 (tessellated-sphere source
+    # coverage / NEE-through-pane differences), now bounded 6x tighter.
+    "three-planes-glass": dict(rel_mean=0.6, relmse=5.0),
+    "three-planes-dielectric": dict(rel_mean=1.8, relmse=5.0),
+    "three-planes-interface": dict(rel_mean=0.8, relmse=5.0),
     "two-planes-mirror": dict(rel_mean=0.15, relmse=2.5),
     "two-planes": dict(rel_mean=0.1, relmse=1.0),
 }
