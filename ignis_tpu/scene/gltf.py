@@ -83,10 +83,29 @@ class GLTF:
                     raw[off + k * stride: off + k * stride + itemsize]
                     for k in range(n)])
                 out = rows.view(dt).reshape(n, ncomp)
+        out = np.array(out)
+        # sparse accessors (glTF 2.0 §3.6.2.3; glTFParser.cpp handles
+        # these through tinygltf): substitute `count` rows by index
+        sp = acc.get("sparse")
+        if sp:
+            cnt = sp["count"]
+            ibv = self.json["bufferViews"][sp["indices"]["bufferView"]]
+            ibuf = self.buffer(ibv["buffer"])
+            ioff = ibv.get("byteOffset", 0) + sp["indices"].get(
+                "byteOffset", 0)
+            idt = _COMP_DTYPE[sp["indices"]["componentType"]]
+            idx = np.frombuffer(ibuf, idt, cnt, ioff).astype(np.int64)
+            vbv = self.json["bufferViews"][sp["values"]["bufferView"]]
+            vbuf = self.buffer(vbv["buffer"])
+            voff = vbv.get("byteOffset", 0) + sp["values"].get(
+                "byteOffset", 0)
+            vals = np.frombuffer(vbuf, dt, cnt * ncomp, voff).reshape(
+                cnt, ncomp)
+            out[idx] = vals
         if acc.get("normalized") and dt != np.float32:
             info = np.iinfo(dt)
             out = out.astype(np.float32) / info.max
-        return np.array(out)
+        return out
 
 
 def _node_matrix(node) -> np.ndarray:
@@ -134,8 +153,10 @@ def _material_to_bsdf(gltf, mi, name):
     if "KHR_materials_sheen" in ext:
         sc = ext["KHR_materials_sheen"].get("sheenColorFactor", [0, 0, 0])
         obj["sheen"] = float(np.mean(sc))
-    obj["thin"] = not bool(m.get("doubleSided", False)) is False
-    obj.pop("thin")  # doubleSided handling TODO
+    # doubleSided: our shading is two-sided by construction (the surface
+    # frame flips toward the incident ray, shapes/trimesh.art semantics),
+    # matching the reference's twosided wrapper default; single-sided
+    # backface culling is not modelled (glTFParser.cpp ignores it too).
 
     # emissive
     emissive = np.asarray(m.get("emissiveFactor", [0, 0, 0]), np.float32)
@@ -156,6 +177,48 @@ def _material_to_bsdf(gltf, mi, name):
     return obj, emissive, medium
 
 
+def _texture_for(g, tex_info, name, textures_out):
+    """baseColor texture (+ KHR_texture_transform) → scene texture entry.
+
+    Returns the texture name to reference, or None (data-URI images and
+    non-file sources are skipped)."""
+    if not tex_info or "index" not in tex_info:
+        return None
+    try:
+        tex = g.json["textures"][tex_info["index"]]
+        img = g.json["images"][tex["source"]]
+    except (KeyError, IndexError):
+        return None
+    uri = img.get("uri")
+    if not uri or uri.startswith("data:"):
+        return None
+    from urllib.parse import unquote
+    entry = {"type": "image", "name": name,
+             "filename": str(g.dir / unquote(uri))}
+    samplers = g.json.get("samplers", [])
+    if "sampler" in tex and tex["sampler"] < len(samplers):
+        sm = samplers[tex["sampler"]]
+        wrap = {10497: "repeat", 33071: "clamp", 33648: "mirror"}
+        if sm.get("wrapS") in wrap:
+            entry["wrap_mode_u"] = wrap[sm["wrapS"]]
+        if sm.get("wrapT") in wrap:
+            entry["wrap_mode_v"] = wrap[sm["wrapT"]]
+    # KHR_texture_transform (offset/rotation/scale in UV space)
+    tt = tex_info.get("extensions", {}).get("KHR_texture_transform")
+    if tt:
+        off = tt.get("offset", [0.0, 0.0])
+        rot = float(tt.get("rotation", 0.0))
+        sc = tt.get("scale", [1.0, 1.0])
+        c, s_ = float(np.cos(rot)), float(np.sin(rot))
+        # uv' = offset + R(-rot) @ (scale * uv)  (spec composition
+        # T * R * S applied to UV coordinates)
+        m = np.asarray([[c * sc[0], -s_ * sc[1], off[0]],
+                        [s_ * sc[0], c * sc[1], off[1]]], np.float32)
+        entry["transform"] = [float(v) for v in m.reshape(-1)]
+    textures_out.append(entry)
+    return name
+
+
 def load_gltf_scene(path):
     """Returns an ignis_tpu Scene built from the glTF file."""
     from ignis_tpu.scene.parser import load_scene_dict
@@ -163,6 +226,7 @@ def load_gltf_scene(path):
     doc = g.json
 
     shapes, bsdfs, entities, lights, media = [], [], [], [], []
+    textures = []
     camera = None
     mat_cache = {}
 
@@ -171,6 +235,14 @@ def load_gltf_scene(path):
             return mat_cache[mi]
         name = f"mat_{mi}"
         obj, emissive, medium = _material_to_bsdf(g, mi, name)
+        # baseColor texture (+ sampler wrap modes + KHR_texture_transform)
+        mats = g.json.get("materials", [])
+        if mi is not None and mi < len(mats):
+            pbr = mats[mi].get("pbrMetallicRoughness", {})
+            tname = _texture_for(g, pbr.get("baseColorTexture"),
+                                 f"tex_mat{mi}_base", textures)
+            if tname:
+                obj["base_color"] = tname
         bsdfs.append(obj)
         med_name = None
         if medium is not None:
@@ -278,6 +350,7 @@ def load_gltf_scene(path):
         "technique": {"type": "volpath" if media else "path", "max_depth": 8},
         "film": {"size": [800, 600]},
         "shapes": [{"type": "gltf_inline", "name": n} for n in inline_meshes],
+        "textures": textures,
         "bsdfs": bsdfs,
         "entities": entities,
         "lights": lights or [{"type": "env", "name": "__env",
