@@ -155,7 +155,7 @@ class Runtime:
         from ignis_tpu.utils.stats import Statistics
         self.stats = Statistics()
         self.stats.record("loading", _t_load)
-        self._dev_stats = jnp.zeros((3,), jnp.float32)
+        self._dev_stats = jnp.zeros((9,), jnp.float32)
         self._dev_stats_capacity = 0
         self._first_step_done = False
         self._render_tile = jax.jit(
@@ -313,6 +313,17 @@ class Runtime:
             self.stats.set("BounceLaneVisits", int(ds[1]))
             self.stats.set("WaveOccupancy",
                            float(ds[1] / (ds[0] * cap)))
+            # Quantity tree analogs (Statistics.h:9-66): the wavefront
+            # carries these as device scalars per bounce
+            self.stats.set("CameraRayCount(device)", int(ds[3]))
+            self.stats.set("PrimaryHitCount", int(ds[4]))
+            self.stats.set("PrimaryMissCount", int(ds[5]))
+            self.stats.set("ShadowRayCount", int(ds[6]))
+            self.stats.set("OccludedShadowRayCount", int(ds[7]))
+            self.stats.set("BounceRayCount", int(ds[8]))
+            if ds[6] > 0:
+                self.stats.set("ShadowOcclusionRatio",
+                               float(ds[7] / ds[6]))
         return self.stats.dump()
 
     def _step_impl(self, spi=1):

@@ -597,6 +597,21 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
                             s_tmax, shadow_mask)
         splat = splat + jnp.where((shadow_valid & ~occ)[..., None],
                                   shadow_contrib, 0.0)
+        n_shadow = jnp.sum(shadow_valid.astype(jnp.float32))
+        n_shadow_hit = jnp.sum((shadow_valid & occ).astype(jnp.float32))
+    else:
+        n_shadow = jnp.float32(0.0)
+        n_shadow_hit = jnp.float32(0.0)
+
+    # per-bounce quantities (Statistics.h:9-66 Quantity analogs), carried
+    # as cheap scalars: [hits, misses, shadow rays, occluded shadow rays,
+    # bounce continuations]
+    quants = jnp.stack([
+        jnp.sum(hit.astype(jnp.float32)),
+        jnp.sum(miss.astype(jnp.float32)),
+        n_shadow, n_shadow_hit,
+        jnp.sum(alive_next.astype(jnp.float32)),
+    ])
 
     st_next = dict(
         org=jnp.where(alive_next[..., None], org_next, org),
@@ -616,7 +631,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
                            st.get("voldepth", jnp.zeros((n,), jnp.int32))),
         nullfl=jnp.where(alive_next, nullfl_next, nullfl) & alive_next,
     )
-    return splat, st_next
+    return splat, st_next, quants
 
 
 def _emit_camera(scene, x, y, sample, iteration, frame, user_seed,
@@ -723,8 +738,8 @@ def trace_wave(scene, tables, x, y, sample, iteration, frame, user_seed,
         from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, MASK_CAMERA
         mbit = jnp.where(state["bounce_index"] == 0,
                          jnp.int32(MASK_CAMERA), jnp.int32(MASK_BOUNCE))
-        splat, st_next = _bounce_core(scene, tables, state, tri_mask,
-                                      shadow_mask, mask_bit=mbit)
+        splat, st_next, _q = _bounce_core(scene, tables, state, tri_mask,
+                                          shadow_mask, mask_bit=mbit)
         st_next["accum"] = state["accum"] + splat
         st_next["bounce_index"] = state["bounce_index"] + 1
         return st_next
@@ -822,9 +837,10 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
                if arith else jnp.zeros((c,), jnp.int32)),
         next_work=jnp.int32(0),
         fb=jnp.zeros((w_total if arith else npix, 3), jnp.float32),
-        # stats: [wave iterations, alive-lane visits, tail iterations]
-        # (Statistics.h quantity analogs, carried as cheap scalars)
-        stats=jnp.zeros((3,), jnp.float32),
+        # stats: [wave iters, alive-lane visits, tail iters, camera rays
+        # emitted, hits, misses, shadow rays, occluded shadows, bounce
+        # continuations] (Statistics.h quantity analogs, cheap scalars)
+        stats=jnp.zeros((9,), jnp.float32),
     )
 
     def body(st):
@@ -867,17 +883,20 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
         st["next_work"] = st["next_work"] + jnp.sum(take.astype(jnp.int32))
 
         # ---- one bounce for the whole wave
-        splat, st_next = _bounce_core(scene, tables, st, prim_mask,
-                                      shadow_mask)
+        splat, st_next, q = _bounce_core(scene, tables, st, prim_mask,
+                                         shadow_mask)
         fb = st["fb"].at[st["pixel"]].add(
             jnp.where(st["alive"][..., None], splat, 0.0),
             unique_indices=arith)
         st_next["pixel"] = st["pixel"]
         st_next["next_work"] = st["next_work"]
         st_next["fb"] = fb
-        st_next["stats"] = st["stats"] + jnp.float32([1.0, 0.0, 0.0]) \
-            + jnp.float32([0.0, 1.0, 0.0]) * jnp.sum(
-                st["alive"].astype(jnp.float32))
+        inc = jnp.concatenate([
+            jnp.stack([jnp.float32(1.0),
+                       jnp.sum(st["alive"].astype(jnp.float32)),
+                       jnp.float32(0.0),
+                       jnp.sum(take.astype(jnp.float32))]), q])
+        st_next["stats"] = st["stats"] + inc
         return st_next
 
     def _fb_out(fb):
@@ -907,13 +926,17 @@ def render_wavefront(scene, tables, work_x, work_y, work_sample,
     tail["stats"] = state["stats"]
 
     def tail_body(st):
-        splat, st_next = _bounce_core(scene, tables, st, prim_mask,
-                                      shadow_mask)
+        splat, st_next, q = _bounce_core(scene, tables, st, prim_mask,
+                                         shadow_mask)
         st_next["fb"] = st["fb"].at[st["pixel"]].add(
             jnp.where(st["alive"][..., None], splat, 0.0),
             unique_indices=arith)
         st_next["pixel"] = st["pixel"]
-        st_next["stats"] = st["stats"] + jnp.float32([0.0, 0.0, 1.0])
+        inc = jnp.concatenate([
+            jnp.stack([jnp.float32(0.0),
+                       jnp.sum(st["alive"].astype(jnp.float32)),
+                       jnp.float32(1.0), jnp.float32(0.0)]), q])
+        st_next["stats"] = st["stats"] + inc
         return st_next
 
     def tail_cond(st):
