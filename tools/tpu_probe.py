@@ -217,6 +217,45 @@ def main():
                           "finite": fin}), flush=True)
         return
 
+    if mode == "rwstub":
+        # render_wavefront with traversal stubbed -> refill + shading +
+        # scatter cost only; (rw - rwstub) isolates real traversal time
+        import ignis_tpu.render.integrator as integ
+        from ignis_tpu.render.integrator import render_wavefront
+        rng3 = np.random.default_rng(9)
+        Tn = int(tables["tri_v0"].shape[0])
+        prim_fix = jnp.asarray(rng3.integers(0, Tn, 65536).astype(np.int32))
+
+        def fake_closest(scene_, tables_, org, d, tmn, tmx, tri_mask,
+                         mask_bit=None):
+            nl = org.shape[0]
+            z = (0.0 * org[:, 0]).astype(jnp.int32)
+            t_ = 1.3 + 0.0 * org[:, 0]
+            uu = jnp.full((nl,), 0.3, jnp.float32)
+            return (t_, uu, uu, prim_fix[:nl] + z)
+
+        def fake_any(scene_, tables_, org, d, tmn, tmx, tri_mask,
+                     mask_bit=None):
+            return (org[:, 0] * 0.0) > 1.0
+
+        integ._traverse_closest = fake_closest
+        integ._traverse_any = fake_any
+        w = h = size
+        npix = w * h
+
+        def body(i, c):
+            fb, _ = render_wavefront(
+                scene, tables, None, None, None,
+                i.astype(jnp.uint32) + (0.0 * c).astype(jnp.uint32),
+                jnp.uint32(0), 0, capacity=65536, spi=1,
+                work_mode="arith", work_total=npix)
+            return c + jnp.sum(fb) * jnp.float32(1e-12)
+        dt, tl_, th_ = diff_time(body, lo=1, hi=4)
+        print(json.dumps({"mode": mode,
+                          "msps_stubbed": round(npix / dt / 1e6, 3),
+                          "ms_per_step": round(dt * 1e3, 1)}), flush=True)
+        return
+
     if mode == "shade":
         # _bounce_core with traversal stubbed out: the pure shading cost
         # of one wave iteration at 65536 lanes
