@@ -316,8 +316,10 @@ class Runtime:
             # Quantity tree analogs (Statistics.h:9-66): the wavefront
             # carries these as device scalars per bounce
             self.stats.set("CameraRayCount(device)", int(ds[3]))
-            self.stats.set("PrimaryHitCount", int(ds[4]))
-            self.stats.set("PrimaryMissCount", int(ds[5]))
+            # ds[4]/ds[5] sum hit/miss over EVERY bounce of every wave
+            # (not just camera rays), so the labels say Ray*, not Primary*
+            self.stats.set("RayHitCount", int(ds[4]))
+            self.stats.set("RayMissCount", int(ds[5]))
             self.stats.set("ShadowRayCount", int(ds[6]))
             self.stats.set("OccludedShadowRayCount", int(ds[7]))
             self.stats.set("BounceRayCount", int(ds[8]))

@@ -146,7 +146,7 @@ def _tri_test(scal, mask_bit, ox, oy, oz, dx, dy, dz, tmin, best,
         bu = jnp.where(ok, jnp.maximum(u, 0.0), bu)
         bv = jnp.where(ok, jnp.maximum(v, 0.0), bv)
     bi = jnp.where(ok, oi.astype(jnp.int32), bi)
-    return bt, bu, bv, bi
+    return (bt, bu, bv, bi), ok
 
 
 def _bw_loop(tri_ref, cl_ref, mask_bit, ox, oy, oz, dx, dy, dz, tmin, tmax,
@@ -192,8 +192,8 @@ def _bw_loop(tri_ref, cl_ref, mask_bit, ox, oy, oz, dx, dy, dz, tmin, tmax,
         def do(best):
             for kk in range(TRI_TILE):
                 scal = tuple(row(kk, c) for c in range(14))
-                best = _tri_test(scal, mask_bit, ox, oy, oz, dx, dy, dz,
-                                 tmin, best, any_hit)
+                best, _ = _tri_test(scal, mask_bit, ox, oy, oz, dx, dy, dz,
+                                    tmin, best, any_hit)
             return best
 
         if os.environ.get("IGNIS_TPU_BW_CLUSTER", "1") == "0":

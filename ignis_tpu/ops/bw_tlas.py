@@ -200,16 +200,19 @@ def _kernel(mask_ref, tris, clust, inst, ox, oy, oz, dx, dy, dz, tmn, tmx,
                     bt, bu, bv, bi, be = best
                     for kk in range(TRI_TILE):
                         r = toff + c * TRI_TILE + kk
+                        # tris[r, 12] carries the stored per-triangle mask
+                        # (0 for degenerate/padding rows — bw_tables zeroes
+                        # them, so garbage functionals can never hit);
+                        # entity-level visibility is applied by inst_body.
                         scal = tuple(tris[r, cc] for cc in range(12)) + (
-                            jnp.float32(0xF),               # vis by entity
+                            tris[r, 12],
                             r.astype(jnp.float32))
-                        prev_t = bt
-                        bt, bu, bv, bi = _tri_test(
+                        (bt, bu, bv, bi), ok = _tri_test(
                             scal, mask_bit, lox, loy, loz, ldx, ldy, ldz,
                             tmin, (bt, bu, bv, bi), any_hit)
                         # instances of one shape share pool rows, so the
-                        # winner is identified by the t update, not bi
-                        be = jnp.where(bt < prev_t, ie, be)
+                        # winner instance rides the same accept predicate
+                        be = jnp.where(ok, ie, be)
                     return (bt, bu, bv, bi, be)
 
                 return jax.lax.cond(chit, tris_do, lambda b: b, best)
@@ -256,7 +259,14 @@ def tlas_traverse(tables, org, d, tmin, tmax, mask_bit=0xF, any_hit=False,
     ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
-    tab_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # SMEM is small (~1 MB of scalar memory): scenes whose pooled tables
+    # exceed the budget fall back to VMEM refs (scalar reads become lane
+    # extracts — slower, but Mosaic compiles instead of failing).
+    tab_floats = (tables["tl_tris"].size + tables["tl_clust"].size
+                  + tables["tl_inst"].size)
+    tab_space = (pltpu.SMEM if tab_floats <= _SMEM_BUDGET_FLOATS
+                 else pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=tab_space)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
     ishape = jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
     mask_arr = jnp.asarray(mask_bit, jnp.int32).reshape(1)

@@ -211,9 +211,10 @@ def _texture_for(g, tex_info, name, textures_out):
         sc = tt.get("scale", [1.0, 1.0])
         c, s_ = float(np.cos(rot)), float(np.sin(rot))
         # uv' = offset + R(-rot) @ (scale * uv)  (spec composition
-        # T * R * S applied to UV coordinates)
-        m = np.asarray([[c * sc[0], -s_ * sc[1], off[0]],
-                        [s_ * sc[0], c * sc[1], off[1]]], np.float32)
+        # T * R * S applied to UV coordinates; the reference composes
+        # Rotation2Df(-rotation), glTFParser.cpp getTextureTransformExts)
+        m = np.asarray([[c * sc[0], s_ * sc[1], off[0]],
+                        [-s_ * sc[0], c * sc[1], off[1]]], np.float32)
         entry["transform"] = [float(v) for v in m.reshape(-1)]
     textures_out.append(entry)
     return name

@@ -129,6 +129,43 @@ def test_tlas_pallas_kernel_matches_xla():
     assert (ea[agree] == eb[agree]).all()
 
 
+def test_tlas_degenerate_triangles_never_hit():
+    """Degenerate faces in an instanced mesh must never hit: the Pallas
+    kernel must honor the stored per-triangle mask (bw_tables zeroes it
+    for degenerate rows), mirroring test_bw_degenerate_triangles_never_hit
+    for the one-level path (ADVICE r4 #1)."""
+    from ignis_tpu.ops.bw_tlas import build_tlas, tlas_traverse
+    rng = np.random.default_rng(7)
+    t = 16
+    v0 = rng.uniform(-2, 2, (t, 3)).astype(np.float32)
+    e1 = rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    e2 = rng.uniform(-1, 1, (t, 3)).astype(np.float32)
+    e2[3] = e1[3]  # degenerate
+    e1[9] = 0.0
+    n0 = np.cross(e1, e2).astype(np.float32)
+    sh = {"v0": v0, "e1": e1, "e2": e2, "n0": n0, "n1": n0, "n2": n0,
+          "uv0": np.zeros((t, 2), np.float32),
+          "uv1": np.zeros((t, 2), np.float32),
+          "uv2": np.zeros((t, 2), np.float32)}
+    ident = np.asarray([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]],
+                       np.float32)
+    tab = {k: jnp.asarray(v) for k, v in build_tlas(
+        [sh], [(0, ident, ident, np.eye(3, dtype=np.float32), 0, 0xF)]
+    ).items()}
+    n = 256
+    org = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    bt, bu, bv, bi, be = tlas_traverse(tab, org, d, tmin, tmax,
+                                       interpret=True)
+    bi = np.asarray(bi)
+    assert not np.isin(bi, [3, 9]).any()
+    # every reported hit must carry a valid instance id (ADVICE r4 #4)
+    assert (np.asarray(be)[bi >= 0] == 0).all()
+
+
 @pytest.mark.tpu
 def test_tlas_kernel_on_tpu_hardware():
     """Mosaic-compiled TLAS kernel vs the XLA oracle on the real chip.
