@@ -4,33 +4,49 @@ TPU-first redesign of the reference's SIMD packet traversal
 (src/artic/traversal/mapping_cpu.art:260-512): instead of per-lane stacks
 (which force per-lane HBM gathers of node data — the reason the XLA
 `ops/bvh.py` path is latency-bound), each packet of PACKET=1024 rays shares
-ONE traversal stack held in SMEM scratch.  Node fetches are scalar dynamic
-slices from a VMEM-resident node table, and every box/triangle test runs as
-full-width (8, 128) VPU ops over the whole packet.  Divergence costs extra
-node visits (the packet traverses the union of its rays' paths) but every
-visit is a handful of vector instructions — the classic packet-tracing
+ONE traversal stack held in SMEM scratch, and every box/triangle test runs
+as a full-width (8, 128) VPU op over the whole packet.  Divergence costs
+extra row visits (the packet traverses the union of its rays' paths) but
+every visit is a handful of vector instructions — the classic packet-tracing
 trade, which coherent camera/shadow waves win decisively.
 
 The tree is EIGHT-wide (the reference collapses its binary SAH tree to
 N-wide nodes the same way, src/runtime/shape/TriMeshProvider.cpp:556-560 /
-bvh/NArityBvh.h): one node visit tests 8 child boxes, one leaf visit tests
-8 triangles.  Both tables are laid out as dense (rows, 128) f32 so VMEM
-tiling wastes nothing (TPU tiles are (8, 128); an (N, 16) array would pad
-its minor dim to 128 and burn 8x the capacity — measured: 47 MB scoped VMEM
-for 11 MB of data).
+bvh/NArityBvh.h): one row visit tests 8 child boxes or 8 triangles.
+
+r5 redesign — the r4 kernel visited one row per while-loop trip and read
+its 56+ operands as VMEM lane extracts, measured ~2500 cycles/visit (the
+extract, not the math, was the visit).  This version:
+
+* keeps ONE unified row table (inner nodes and leaves share the index
+  space; lane 126 is the row-type flag), so a visit is a single fetch;
+* pops a BATCH of up to PB_BATCH rows per trip and DMAs them VMEM->SMEM
+  concurrently — SMEM scalar operands ride the scalar pipe for free
+  against vector ops (the ops/bw_intersect lesson), and the batch overlaps
+  the DMA latencies with each other and with the previous row's math;
+* collapses stack-overflow handling into a batch throttle: when the stack
+  passes half depth the batch narrows to 1 row (classic DFS, net growth
+  <= 7 per trip), so pushes are NEVER dropped and deep trees stay correct.
+
+Measured on the 512k-tri field scene (v5e, honest marginal timing):
+coherent 5.8 -> 12.2 Mrays/s, incoherent 0.65 -> 1.53 Mrays/s vs the r4
+kernel.  Two negative results kept for the record: an 8-element
+packet-vote child ordering network (r4: -7% coherent, -29% incoherent)
+and replacing the 8 jnp.any reductions with a roll-based OR-reduce to one
+lane extract (r5: no change coherent, -42% incoherent — Mosaic's scalar
+reductions are already cheap; operand delivery was the whole story).
 
 Host-side layout (built in `build_packet_bvh` from the binary SAH BVH of
-ops/bvh.py):
+ops/bvh.py), one dense (R, 128) f32 table so VMEM tiling wastes nothing:
 
-* nodes (M, 128) f32 — child c in [0,8): box slab at lanes [6c, 6c+6)
-  as [min.xyz, max.xyz]; child encoding at lane 64+c as an exact-integer
-  float: enc >= 0 = inner row id, enc in [-2^24, -1] = -(leaf_row+1),
-  enc <= MISSING_F = no child.
-* leaves (NL, 128) f32 — 8 triangle records of 16 lanes:
-  [v0.xyz, e1.xyz, e2.xyz, maskbits, orig_idx, pad x5]; degenerate fill has
-  maskbits = 0.  maskbits packs per-ray-class visibility (bit0 camera,
-  bit1 light, bit2 bounce, bit3 shadow) from ent_flags so the kernel needs
-  no per-lane gathers (LoaderEntity.cpp:123-131 semantics).
+* inner row — child c in [0,8): box slab at lanes [6c, 6c+6) as
+  [min.xyz, max.xyz]; child row id at lane 64+c as an exact-integer float
+  (MISSING_F = no child); lane 126 = 0.
+* leaf row — 8 triangle records of 16 lanes:
+  [v0.xyz, e1.xyz, e2.xyz, maskbits, orig_idx, pad x5]; degenerate fill
+  has maskbits = 0; lane 126 = 1.  maskbits packs per-ray-class visibility
+  (bit0 camera, bit1 light, bit2 bounce, bit3 shadow) from ent_flags so
+  the kernel needs no per-lane gathers (LoaderEntity.cpp:123-131).
 
 Intersection predicate matches ops/intersect.py `_mt_block`
 (traversal/intersection.art:70-101, standard-edge sign convention).
@@ -50,11 +66,13 @@ LANES = 128
 SUBLANES = 8
 PACKET = LANES * SUBLANES     # rays per packet / grid step
 WIDTH = 8                     # children per node / triangles per leaf row
-STACK_DEPTH = 128
+PB_BATCH = 4                  # rows popped + DMA'd per while-loop trip
+STACK_DEPTH = 1024            # SMEM ints; throttle keeps sp < DEPTH always
 MISSING_F = np.float32(-1e9)  # child-slot sentinel in the enc lane
+TYPE_LANE = 126               # row-type flag lane: 0 = inner, 1 = leaf
 # scoped-VMEM budget requested from Mosaic for the traversal kernel; the
-# node+leaf tables must fit here together with the double-buffered ray
-# windows (v5e has 128 MB of VMEM total).
+# row table must fit here together with the double-buffered ray windows
+# (v5e has 128 MB of VMEM total).
 VMEM_LIMIT = 100 * 1024 * 1024
 
 # ray-class bits for the packed per-triangle visibility mask — identical to
@@ -65,15 +83,10 @@ MASK_LIGHT = 0x2
 MASK_BOUNCE = 0x4
 MASK_SHADOW = 0x8
 
-# Batcher odd-even merge sort network for 8 elements (19 comparators)
-_SORT8 = [(0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
-          (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
-          (1, 2), (3, 4), (5, 6)]
-
 
 # --------------------------------------------------------------------- build
 def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
-    """Collapse a binary `ops.bvh.BVH` into 8-wide packet-kernel tables.
+    """Collapse a binary `ops.bvh.BVH` into the unified 8-wide row table.
 
     Children of an 8-wide node are gathered by repeatedly expanding the
     largest-subtree inner child; subtrees of <= 8 triangles collapse into a
@@ -82,7 +95,7 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
 
     ent_flags_per_tri: (T,) uint8 of reference visibility flags
     (camera=0x1, light=0x2, bounce=0x4, shadow=0x8) per ORIGINAL triangle.
-    Returns dict of numpy arrays (pb_nodes, pb_leaves).
+    Returns dict of numpy arrays (pb_rows, pb_bounds, pb_depth).
     """
     order = np.asarray(bvh.tri_order)
     t = order.shape[0]
@@ -115,20 +128,22 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
             st.append((int(nl[b]), False))
             st.append((int(nr[b]), False))
 
-    rows = []      # per 8-wide node: list of (bmin, bmax, enc_float)
-    leaves = []    # per leaf row: array of <= 8 original tri indices
-    depth_of = {0: 1}   # 8-wide row depth (root = 1); single-row trees stay 1
+    # rows: list of ("inner", entries) | ("leaf", tri_index_array); inner
+    # and leaf rows SHARE one index space (unified table)
+    rows = []
+    depth_of = {0: 1}   # 8-wide row depth (root = 1); single-row trees = 1
 
     def make_leaf(b):
         lo, n = int(start[b]), int(size[b])
-        leaves.append(order[lo:lo + n])
-        return np.float32(-len(leaves))     # -(leaf_row + 1)
+        rows.append(("leaf", order[lo:lo + n]))
+        return np.float32(len(rows) - 1)
 
     if t == 0 or m == 0:
-        rows.append([])
+        rows.append(("inner", []))
     elif nc[0] > 0 or size[0] <= WIDTH:
-        # whole tree is one leaf row: synthesize a root
-        rows.append([(nm[0], nx[0], make_leaf(0))])
+        # whole tree is one leaf row: synthesize a root pointing at it
+        rows.append(None)
+        rows[0] = ("inner", [(nm[0], nx[0], make_leaf(0))])
     else:
         row_of = {0: 0}
         rows.append(None)
@@ -153,79 +168,63 @@ def build_packet_bvh(bvh, tri_v0, tri_e1, tri_e2, ent_flags_per_tri):
                     rows.append(None)
                     work.append(k)
                     entries.append((nm[k], nx[k], np.float32(row_of[k])))
-            rows[row_of[b]] = entries
+            rows[row_of[b]] = ("inner", entries)
 
-    node_tab = np.zeros((len(rows), LANES), np.float32)
-    node_tab[:, 64:64 + WIDTH] = MISSING_F
-    for ri, entries in enumerate(rows):
-        for c, (bmin, bmax, enc) in enumerate(entries):
-            node_tab[ri, 6 * c:6 * c + 3] = bmin
-            node_tab[ri, 6 * c + 3:6 * c + 6] = bmax
-            node_tab[ri, 64 + c] = enc
-
-    nlv = max(1, len(leaves))
-    leaf_tab = np.zeros((nlv, LANES), np.float32)
-    for li, tris in enumerate(leaves):
-        for k, oi in enumerate(tris[:WIDTH]):
-            oi = int(oi)
-            o = 16 * k
-            leaf_tab[li, o:o + 3] = v0[oi]
-            leaf_tab[li, o + 3:o + 6] = e1[oi]
-            leaf_tab[li, o + 6:o + 9] = e2[oi]
-            leaf_tab[li, o + 9] = maskbits[oi] if maskbits.size else 7.0
-            leaf_tab[li, o + 10] = np.float32(oi)   # exact for oi < 2^24
+    tab = np.zeros((len(rows), LANES), np.float32)
+    for ri, (kind, payload) in enumerate(rows):
+        if kind == "inner":
+            tab[ri, 64:64 + WIDTH] = MISSING_F
+            for c, (bmin, bmax, enc) in enumerate(payload):
+                tab[ri, 6 * c:6 * c + 3] = bmin
+                tab[ri, 6 * c + 3:6 * c + 6] = bmax
+                tab[ri, 64 + c] = enc
+        else:
+            tab[ri, TYPE_LANE] = 1.0
+            for k, oi in enumerate(payload[:WIDTH]):
+                oi = int(oi)
+                o = 16 * k
+                tab[ri, o:o + 3] = v0[oi]
+                tab[ri, o + 3:o + 6] = e1[oi]
+                tab[ri, o + 6:o + 9] = e2[oi]
+                tab[ri, o + 9] = maskbits[oi] if maskbits.size else 7.0
+                tab[ri, o + 10] = np.float32(oi)   # exact for oi < 2^24
+            # record 7 pads end at lane 127; TYPE_LANE sits in that pad
+            assert TYPE_LANE >= 16 * 7 + 11
     bounds = np.zeros(8, np.float32)
     if m:
         bounds[0:3] = nm[0]
         bounds[3:6] = nx[0]
     else:
         bounds[3:6] = 1.0
-    # worst-case traversal stack need: every inner visit pops 1 and pushes
-    # up to WIDTH children (net +7), so a root-to-leaf chain of depth D can
-    # occupy 7*D + 1 slots.  Recorded so packet_tables_fit can refuse tables
-    # a degenerate SAH tree could overflow (kernel clamps as backstop).
-    return {"pb_nodes": node_tab, "pb_leaves": leaf_tab,
-            "pb_bounds": bounds, "pb_depth": np.int32(max(depth_of.values()))}
+    return {"pb_rows": tab, "pb_bounds": bounds,
+            "pb_depth": np.int32(max(depth_of.values()))}
 
 
 def packet_tables_fit(tables) -> bool:
-    """True when the node+leaf tables fit the kernel's scoped-VMEM budget
-    and the worst-case traversal stack (7*depth + 1) fits STACK_DEPTH."""
-    b = tables["pb_nodes"].size * 4 + tables["pb_leaves"].size * 4
-    if 7 * int(tables.get("pb_depth", 1)) + 1 > STACK_DEPTH:
+    """True when the row table fits the kernel's scoped-VMEM budget and a
+    1-row-per-trip DFS of the tree fits the stack with throttle margin (the
+    batch throttle narrows to 1 row past half depth; from there a DFS
+    descent can still grow by 7*depth plus one batch worth of pushes).
+    SAH trees of 512k tris are ~depth 8, nowhere near the bound."""
+    b = tables["pb_rows"].size * 4
+    if 7 * int(tables.get("pb_depth", 1)) + 1 > (STACK_DEPTH // 2
+                                                 - 8 * PB_BATCH):
         return False
     return b <= VMEM_LIMIT - (8 << 20)   # headroom for ray windows
 
 
 # -------------------------------------------------------------------- kernel
-def _slab_pk(ox, oy, oz, ix, iy, iz, tmn, lim, bmin, bmax):
-    """Packet slab test vs one box given as 6 scalars.  Returns (8,128) hit."""
-    t0x = (bmin[0] - ox) * ix
-    t1x = (bmax[0] - ox) * ix
-    t0y = (bmin[1] - oy) * iy
-    t1y = (bmax[1] - oy) * iy
-    t0z = (bmin[2] - oz) * iz
-    t1z = (bmax[2] - oz) * iz
-    near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                   jnp.minimum(t0y, t1y)),
-                       jnp.maximum(jnp.minimum(t0z, t1z), tmn))
-    far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                  jnp.maximum(t0y, t1y)),
-                      jnp.minimum(jnp.maximum(t0z, t1z), lim))
-    return near, near <= far
-
-
-def _leaf_test(row, mask_bit, ox, oy, oz, dx, dy, dz, tmn, best):
-    """Intersect the packet against a (1, 128) leaf row (8 triangles)."""
+def _leaf_test(rd, mask_bit, ox, oy, oz, dx, dy, dz, tmn, best):
+    """Intersect the packet against one leaf row; rd(i) yields lane i."""
     tol = jnp.float32(-1.1920928955078125e-07)
     bt, bu, bv, bi = best
     for k in range(WIDTH):
         o = k * 16
-        v0x, v0y, v0z = row[0, o + 0], row[0, o + 1], row[0, o + 2]
-        e1x, e1y, e1z = row[0, o + 3], row[0, o + 4], row[0, o + 5]
-        e2x, e2y, e2z = row[0, o + 6], row[0, o + 7], row[0, o + 8]
-        mbits = row[0, o + 9].astype(jnp.int32)
-        oi = row[0, o + 10].astype(jnp.int32)
+        v0x, v0y, v0z = rd(o + 0), rd(o + 1), rd(o + 2)
+        e1x, e1y, e1z = rd(o + 3), rd(o + 4), rd(o + 5)
+        e2x, e2y, e2z = rd(o + 6), rd(o + 7), rd(o + 8)
+        mbits = rd(o + 9).astype(jnp.int32)
+        oi = rd(o + 10).astype(jnp.int32)
         vis = (mbits & mask_bit) != 0
 
         nx = e1y * e2z - e1z * e2y
@@ -253,9 +252,9 @@ def _leaf_test(row, mask_bit, ox, oy, oz, dx, dy, dz, tmn, best):
     return bt, bu, bv, bi
 
 
-def _traverse_kernel(mask_ref, nodes, leaves, ox, oy, oz, dx, dy,
+def _traverse_kernel(mask_ref, rows_tab, ox, oy, oz, dx, dy,
                      dz, tmin, tmax, out_t, out_u, out_v, out_i, stack,
-                     *, any_hit):
+                     rows_s, sem, *, any_hit, use_dma):
     mask_bit = mask_ref[0]
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
@@ -275,48 +274,93 @@ def _traverse_kernel(mask_ref, nodes, leaves, ox, oy, oz, dx, dy,
 
     def body(carry):
         sp, bt, bu, bv, bi = carry
-        enc = stack[sp - 1]
-        sp = sp - 1
-        lim = bt  # per-ray search window shrinks with best hit
+        # batch throttle: past half depth narrow to 1 row/trip (classic
+        # DFS, future growth <= 7*depth) so pushes are never dropped for
+        # any tree packet_tables_fit admits; the per-push sp guard below
+        # is a belt-and-braces backstop, not a correctness path
+        batch = jnp.where(sp > STACK_DEPTH // 2,
+                          jnp.int32(1), jnp.int32(PB_BATCH))
+        k = jnp.minimum(sp, batch)
+        nrows = rows_tab.shape[0]
+        encs = []
+        for j in range(PB_BATCH):
+            # clamp: slots beyond k carry garbage (masked out downstream);
+            # the clamp keeps speculative fetches in bounds
+            e = jnp.clip(stack[jnp.maximum(sp - 1 - j, 0)], 0, nrows - 1)
+            encs.append(e)
+            if use_dma:
+                @pl.when(j < k)
+                def _start(j=j, e=e):
+                    pltpu.make_async_copy(
+                        rows_tab.at[pl.ds(e, 1), :],
+                        rows_s.at[pl.ds(j, 1), :],
+                        sem.at[j]).start()
+        sp = sp - k
 
-        def inner_case(args):
-            # NOTE: children are pushed in build order, not near-ordered.  A
-            # 19-comparator packet-vote ordering network was measured SLOWER
-            # on both coherent (-7%) and incoherent (-29%) waves: the ~57
-            # scalar selects per visit cost more than the early-termination
-            # culling saves (the builder already emits children in SAH
-            # partition order, which is spatially sorted).
-            sp, bt, bu, bv, bi = args
-            fr = nodes[pl.ds(enc, 1), :]         # (1, 128)
-            act = (bi < 0) if any_hit else None
+        for j in range(PB_BATCH):
+            valid = j < k
+            if use_dma:
+                @pl.when(valid)
+                def _wait(j=j, e=encs[j]):
+                    pltpu.make_async_copy(
+                        rows_tab.at[pl.ds(e, 1), :],
+                        rows_s.at[pl.ds(j, 1), :],
+                        sem.at[j]).wait()
+                rd = lambda i, j=j: rows_s[j, i]
+            else:
+                fr = rows_tab[pl.ds(encs[j], 1), :]
+                rd = lambda i, fr=fr: fr[0, i]
+            is_leaf = rd(TYPE_LANE) > 0.5
+
+            def leaf_fn(best, rd=rd):
+                return _leaf_test(rd, mask_bit, *o, *d, tmn, best)
+
+            bt, bu, bv, bi = jax.lax.cond(
+                valid & is_leaf, leaf_fn, lambda b: b, (bt, bu, bv, bi))
+
+            def inner_fn(rd=rd, bt=bt, bi=bi):
+                # NOTE: children are pushed in build order, not
+                # near-ordered.  A packet-vote ordering network measured
+                # SLOWER on both coherent (-7%) and incoherent (-29%)
+                # waves in r4 (the builder already emits children in SAH
+                # partition order, which is spatially sorted).
+                lim = bt
+                act = (bi < 0) if any_hit else None
+                anyh = []
+                for c in range(WIDTH):
+                    b = 6 * c
+                    t0x = (rd(b + 0) - o[0]) * ix
+                    t1x = (rd(b + 3) - o[0]) * ix
+                    t0y = (rd(b + 1) - o[1]) * iy
+                    t1y = (rd(b + 4) - o[1]) * iy
+                    t0z = (rd(b + 2) - o[2]) * iz
+                    t1z = (rd(b + 5) - o[2]) * iz
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), tmn))
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), lim))
+                    hit = near <= far
+                    if any_hit:
+                        hit = hit & act
+                    anyh.append(jnp.any(hit))
+                return tuple(anyh)
+
+            hits = jax.lax.cond(valid & jnp.logical_not(is_leaf), inner_fn,
+                                lambda: (jnp.bool_(False),) * WIDTH)
             for c in range(WIDTH):
-                b = 6 * c
-                bmin = (fr[0, b], fr[0, b + 1], fr[0, b + 2])
-                bmax = (fr[0, b + 3], fr[0, b + 4], fr[0, b + 5])
-                _, hit = _slab_pk(*o, ix, iy, iz, tmn, lim, bmin, bmax)
-                if any_hit:
-                    hit = hit & act
-                ev = fr[0, 64 + c]
-                push = jnp.any(hit) & (ev > (MISSING_F * 0.5))
-                # overflow guard: drop the push (not the write bounds) when
-                # the stack is full; build_packet_bvh refuses to emit tables
-                # whose worst-case depth could hit this, so the clamp is a
-                # belt-and-braces bound, not a correctness path.
-                can = push & (sp < STACK_DEPTH)
-                pos = jnp.where(can, sp, STACK_DEPTH)
-                stack[pos] = ev.astype(jnp.int32)
+                ev = rd(64 + c)
+                can = (hits[c] & (ev > (MISSING_F * 0.5))
+                       & (sp < STACK_DEPTH))
+
+                @pl.when(can)
+                def _push(ev=ev, sp=sp):
+                    stack[sp] = ev.astype(jnp.int32)
                 sp = sp + can.astype(jnp.int32)
-            return sp, bt, bu, bv, bi
-
-        def leaf_case(args):
-            sp, bt, bu, bv, bi = args
-            row = leaves[pl.ds(~enc, 1), :]      # (1, 128)
-            bt, bu, bv, bi = _leaf_test(row, mask_bit, *o, *d, tmn,
-                                        (bt, bu, bv, bi))
-            return sp, bt, bu, bv, bi
-
-        return jax.lax.cond(enc >= 0, inner_case, leaf_case,
-                            (sp, bt, bu, bv, bi))
+        return sp, bt, bu, bv, bi
 
     init = (jnp.int32(1), tmax[:], jnp.zeros_like(tmn), jnp.zeros_like(tmn),
             jnp.full(tmn.shape, -1, jnp.int32))
@@ -409,15 +453,18 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     mask_arr = jnp.asarray(mask_bit, jnp.int32).reshape(1)
 
     out = pl.pallas_call(
-        functools.partial(_traverse_kernel, any_hit=any_hit),
+        functools.partial(_traverse_kernel, any_hit=any_hit,
+                          use_dma=not interpret),
         grid=(grid,),
-        in_specs=[smem1, full, full] + [ray_spec] * 8,
+        in_specs=[smem1, full] + [ray_spec] * 8,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
         out_shape=(shape, shape, shape, ishape),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH + 1,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH + 1,), jnp.int32),
+                        pltpu.SMEM((PB_BATCH, LANES), jnp.float32),
+                        pltpu.SemaphoreType.DMA((PB_BATCH,))],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(mask_arr, tables["pb_nodes"], tables["pb_leaves"], *rays)
+    )(mask_arr, tables["pb_rows"], *rays)
     flat = lambda a: a.reshape(-1)[:n]
     out = tuple(flat(a) for a in out)
     if sort:

@@ -92,7 +92,7 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
     share the Pallas kernels (no pallas_call transpose rule needed).
     """
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
-    if _use_pallas(org) and "pb_nodes" in tables:
+    if _use_pallas(org) and "pb_rows" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE, packet_bvh_closest
         out = packet_bvh_closest(tables, org, d, tmin, tmax,
                                  mask_bit=(MASK_BOUNCE if mask_bit is None
@@ -145,7 +145,7 @@ def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
     """Any-hit dispatch; detached like `_traverse_closest` (occlusion is a
     visibility discontinuity — zero derivative almost everywhere)."""
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
-    if _use_pallas(org) and "pb_nodes" in tables:
+    if _use_pallas(org) and "pb_rows" in tables:
         from ignis_tpu.ops.pallas_bvh import MASK_SHADOW, packet_bvh_any
         occ = packet_bvh_any(tables, org, d, tmin, tmax,
                              mask_bit=(MASK_SHADOW if mask_bit is None
