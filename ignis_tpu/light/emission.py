@@ -25,7 +25,8 @@ from ignis_tpu.core.warp import (
     sample_cosine_hemisphere, sample_equal_area_sphere, sample_triangle,
     sample_uniform_cone, sample_uniform_disk, sample_uniform_sphere)
 from ignis_tpu.scene.compile import (
-    LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_DIRECTIONAL, LIGHT_ENV,
+    LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_AREA_SPHERE,
+    LIGHT_DIRECTIONAL, LIGHT_ENV,
     LIGHT_ENV_CDF, LIGHT_POINT, LIGHT_SPOT, LIGHT_SUN)
 
 
@@ -106,6 +107,21 @@ def sample_light_emission(scene, tables, light_idx, seed, counter, active):
             sd = to_world(local, t, b, fn)
             i_l = radiance * safe_div(1.0, pdfv * cpdf)[..., None]
             c_l = local[..., 2]
+        elif info.type == LIGHT_AREA_SPHERE:
+            # sample_emission (light/area.art:276-279): equal-area point,
+            # cosine direction about the outward normal
+            radiance = data[0:3]
+            r_s, c_s, area_s = data[3], data[4:7], data[8]
+            outward, _dp = sample_equal_area_sphere(u1, u2)
+            fn = outward
+            p_l = c_s + outward * r_s
+            local, cpdf = sample_cosine_hemisphere(u3, u4)
+            t, b = orthonormal_basis(fn)
+            sd = to_world(local, t, b, fn)
+            pdfv = safe_div(1.0, area_s)
+            i_l = jnp.broadcast_to(radiance, (n, 3)) * safe_div(
+                1.0, pdfv * cpdf)[..., None]
+            c_l = local[..., 2]
         elif info.type == LIGHT_DIRECTIONAL:
             prop = jnp.broadcast_to(data[0:3], (n, 3))  # toward the scene
             p_l, ppdf = _env_sample_pos(u1, u2, -prop, center, radius)
@@ -154,7 +170,7 @@ def sample_light_emission(scene, tables, light_idx, seed, counter, active):
             data_ = tables["light_data"][lid]
             la = data_[13:16] * data_[12]            # radiance * area
             ln = jnp.broadcast_to(data_[9:12], (n, 3))
-        elif info.type == LIGHT_AREA_MESH:
+        elif info.type in (LIGHT_AREA_MESH, LIGHT_AREA_SPHERE):
             la = i_l * cpdf[..., None]               # radiance / pdf_A
             ln = fn
         else:

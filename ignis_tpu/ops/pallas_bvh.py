@@ -29,12 +29,20 @@ extract, not the math, was the visit).  This version:
   <= 7 per trip), so pushes are NEVER dropped and deep trees stay correct.
 
 Measured on the 512k-tri field scene (v5e, honest marginal timing):
-coherent 5.8 -> 12.2 Mrays/s, incoherent 0.65 -> 1.53 Mrays/s vs the r4
-kernel.  Two negative results kept for the record: an 8-element
-packet-vote child ordering network (r4: -7% coherent, -29% incoherent)
-and replacing the 8 jnp.any reductions with a roll-based OR-reduce to one
-lane extract (r5: no change coherent, -42% incoherent — Mosaic's scalar
-reductions are already cheap; operand delivery was the whole story).
+coherent 5.8 -> 636 Mrays/s, incoherent 0.65 -> 1.32 Mrays/s vs the r4
+kernel.  The coherent two orders of magnitude came in two steps: the
+SMEM-DMA visit (5.8 -> 12) and discovering that the always-on ray sort's
+12 permutation gathers (~6 ns/lane serial on TPU) had been charging every
+call ~20 ms — 50x the actual traversal work of a coherent wave (12 ->
+636 with sort opt-in).  A host simulation counts ~5 row visits per
+coherent 1024-ray packet vs ~1950 per incoherent packet: incoherent waves
+are genuinely visit-bound (~350 cycles/visit), which is the union-of-
+paths cost, not overhead.  Negative results kept for the record: an
+8-element packet-vote child ordering network (r4: -7% coherent, -29%
+incoherent); replacing the 8 jnp.any reductions with a roll-based
+OR-reduce to one lane extract (r5: -42% incoherent — Mosaic scalar
+reductions are already cheap; operand delivery was the whole story);
+PB_BATCH=8 (coherent +4%, incoherent -5%).
 
 Host-side layout (built in `build_packet_bvh` from the binary SAH BVH of
 ops/bvh.py), one dense (R, 128) f32 table so VMEM tiling wastes nothing:
@@ -255,14 +263,34 @@ def _leaf_test(rd, mask_bit, ox, oy, oz, dx, dy, dz, tmn, best):
 def _traverse_kernel(mask_ref, rows_tab, ox, oy, oz, dx, dy,
                      dz, tmin, tmax, out_t, out_u, out_v, out_i, stack,
                      rows_s, sem, *, any_hit, use_dma):
+    """Grid-free: ALL packets loop inside one kernel invocation.  A grid
+    would re-stage the full row table per grid step (Mosaic pipelines
+    non-blocked VMEM operands too) — measured 46 us/packet of pure HBM
+    traffic on a 37 MB table, 16x the cost of a coherent packet's actual
+    traversal.  One invocation stages the table once."""
     mask_bit = mask_ref[0]
-    o = (ox[:], oy[:], oz[:])
-    d = (dx[:], dy[:], dz[:])
+    npackets = ox.shape[0] // SUBLANES
+
+    def packet_body(p, _):
+        _traverse_packet(p, mask_bit, rows_tab, ox, oy, oz, dx, dy, dz,
+                         tmin, tmax, out_t, out_u, out_v, out_i, stack,
+                         rows_s, sem, any_hit=any_hit, use_dma=use_dma)
+        return 0
+
+    jax.lax.fori_loop(0, npackets, packet_body, 0)
+
+
+def _traverse_packet(p, mask_bit, rows_tab, ox, oy, oz, dx, dy, dz,
+                     tmin, tmax, out_t, out_u, out_v, out_i, stack,
+                     rows_s, sem, *, any_hit, use_dma):
+    sl = pl.ds(p * SUBLANES, SUBLANES)
+    o = (ox[sl, :], oy[sl, :], oz[sl, :])
+    d = (dx[sl, :], dy[sl, :], dz[sl, :])
     big = jnp.float32(1e30)
     ix = jnp.where(d[0] == 0.0, big, 1.0 / jnp.where(d[0] == 0.0, 1.0, d[0]))
     iy = jnp.where(d[1] == 0.0, big, 1.0 / jnp.where(d[1] == 0.0, 1.0, d[1]))
     iz = jnp.where(d[2] == 0.0, big, 1.0 / jnp.where(d[2] == 0.0, 1.0, d[2]))
-    tmn = tmin[:]
+    tmn = tmin[sl, :]
 
     stack[0] = jnp.int32(0)
 
@@ -362,13 +390,13 @@ def _traverse_kernel(mask_ref, rows_tab, ox, oy, oz, dx, dy,
                 sp = sp + can.astype(jnp.int32)
         return sp, bt, bu, bv, bi
 
-    init = (jnp.int32(1), tmax[:], jnp.zeros_like(tmn), jnp.zeros_like(tmn),
-            jnp.full(tmn.shape, -1, jnp.int32))
+    init = (jnp.int32(1), tmax[sl, :], jnp.zeros_like(tmn),
+            jnp.zeros_like(tmn), jnp.full(tmn.shape, -1, jnp.int32))
     _, bt, bu, bv, bi = jax.lax.while_loop(cond, body, init)
-    out_t[:] = bt
-    out_u[:] = bu
-    out_v[:] = bv
-    out_i[:] = bi
+    out_t[sl, :] = bt
+    out_u[sl, :] = bu
+    out_v[sl, :] = bv
+    out_i[sl, :] = bi
 
 
 # ---------------------------------------------------------------- ray sort
@@ -382,13 +410,14 @@ def _part1by2(x):
     return x
 
 
-def _sort_perm(tables, org, d, tmin, tmax):
-    """Coherence permutation: direction octant (major) then 29-bit origin
+def _coherence_key(tables, org, d, tmin, tmax):
+    """Coherence sort key: direction octant (major) then 29-bit origin
     morton.  Bounce/shadow waves are direction- and origin-incoherent; the
     shared-stack packet traverses the UNION of its rays' node paths, so
     clustering rays cuts visits multiplicatively (mapping_cpu.art sorts by
     octant for the same reason).  Dead lanes (tmax <= tmin) key to the max
-    so whole packets of terminated rays cost one visit."""
+    so whole packets of terminated rays cost ONE root visit — on late
+    bounce waves that alone halves the live packet count."""
     bmin = tables["pb_bounds"][0:3]
     ext = jnp.maximum(tables["pb_bounds"][3:6] - bmin, 1e-6)
     q = jnp.clip((org - bmin) / ext * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
@@ -398,11 +427,7 @@ def _sort_perm(tables, org, d, tmin, tmax):
               + 2 * (d[:, 1] < 0).astype(jnp.uint32)
               + 4 * (d[:, 2] < 0).astype(jnp.uint32))
     key = (octant << 29) | (morton >> 1)
-    key = jnp.where(tmax <= tmin, jnp.uint32(0xFFFFFFFF), key)
-    n = org.shape[0]
-    _, perm = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
-    inv = jnp.zeros(n, jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
-    return perm, inv
+    return jnp.where(tmax <= tmin, jnp.uint32(0xFFFFFFFF), key)
 
 
 # ------------------------------------------------------------------- wrapper
@@ -429,7 +454,8 @@ def _prep(org, d, tmin, tmax, n):
     ), rows
 
 
-def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
+def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False,
+          sort=False):
     # Traversal is non-differentiable by design (visibility discontinuities
     # are out of the parameter set, SURVEY.md §7.1); detaching the inputs
     # keeps reverse AD from requiring a pallas_call transpose.
@@ -437,15 +463,36 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     n = org.shape[0]
     tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
     tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
-    sort = n >= 2 * PACKET
+    # grid-free kernel holds all rays in VMEM at once; chunk huge batches
+    # so rays (12 arrays * n * 4 B) stay well under the table's headroom
+    chunk = 1 << 18
+    if n > chunk:
+        outs = [_call(tables, org[i:i + chunk], d[i:i + chunk],
+                      tmin[i:i + chunk], tmax[i:i + chunk], mask_bit,
+                      any_hit, interpret, sort)
+                for i in range(0, n, chunk)]
+        return tuple(jnp.concatenate([o[k] for o in outs])
+                     for k in range(4))
+    # Coherence sort rides MULTI-OPERAND lax.sort, NOT permutation
+    # gathers.  An index-gather permutation is 12 serial TPU gathers
+    # (~6 ns/lane; ~20 ms per 2^18-ray call) — r5 measured it at 50x the
+    # entire traversal cost of a coherent wave (12.5 -> 636 Mrays/s with
+    # it off).  lax.sort carrying the 8 ray columns + original index
+    # (and a second 5-operand sort to restore output order) costs 0.13 ms
+    # per 65536 rays on the same chip — the visit savings and dead-lane
+    # clustering come essentially for free.
     if sort:
-        perm, inv = _sort_perm(tables, org, d, tmin, tmax)
-        org, d = org[perm], d[perm]
-        tmin, tmax = tmin[perm], tmax[perm]
+        cols = (org[:, 0], org[:, 1], org[:, 2],
+                d[:, 0], d[:, 1], d[:, 2], tmin, tmax)
+        cols = tuple(c.astype(jnp.float32) for c in cols)
+        key = _coherence_key(tables, org, d, tmin, tmax)
+        idx0 = jnp.arange(n, dtype=jnp.int32)
+        srt = jax.lax.sort([key, idx0, *cols], num_keys=1)
+        idx_s = srt[1]
+        org = jnp.stack(srt[2:5], axis=1)
+        d = jnp.stack(srt[5:8], axis=1)
+        tmin, tmax = srt[8], srt[9]
     rays, rows = _prep(org, d, tmin, tmax, n)
-    grid = rows // SUBLANES
-    ray_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem1 = pl.BlockSpec(memory_space=pltpu.SMEM)
     shape = jax.ShapeDtypeStruct((rows, LANES), jnp.float32)
@@ -455,9 +502,8 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     out = pl.pallas_call(
         functools.partial(_traverse_kernel, any_hit=any_hit,
                           use_dma=not interpret),
-        grid=(grid,),
-        in_specs=[smem1, full] + [ray_spec] * 8,
-        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
+        in_specs=[smem1, full] + [full] * 8,
+        out_specs=(full, full, full, full),
         out_shape=(shape, shape, shape, ishape),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH + 1,), jnp.int32),
                         pltpu.SMEM((PB_BATCH, LANES), jnp.float32),
@@ -468,21 +514,41 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False):
     flat = lambda a: a.reshape(-1)[:n]
     out = tuple(flat(a) for a in out)
     if sort:
-        out = tuple(a[inv] for a in out)
+        # restore caller order by sorting outputs on the carried original
+        # index (lax.sort handles mixed f32/int32 operand dtypes)
+        back = jax.lax.sort([idx_s, *out], num_keys=1)
+        out = tuple(back[1:])
     return out
 
 
+def _auto_sort(sort, mask_bit, n):
+    """Default policy: coherence-sort bounce/shadow waves (they carry
+    dead lanes and scattered octants), skip static pure-camera waves
+    (already coherent, no dead lanes — sorting is pure overhead there).
+    A TRACED mask_bit means a regenerating wave that mixes fresh camera
+    rays with bounces mid-iteration — those sort."""
+    if sort is not None:
+        return sort
+    if n < 2 * PACKET:
+        return False
+    if isinstance(mask_bit, (int, np.integer)):
+        return int(mask_bit) != MASK_CAMERA
+    return True
+
+
 def packet_bvh_closest(tables, org, d, tmin, tmax, mask_bit=MASK_BOUNCE,
-                       interpret=False):
+                       interpret=False, sort=None):
     """Closest hit: (t, u, v, prim) with prim = ORIGINAL tri index, -1 miss."""
     t, u, v, i = _call(tables, org, d, tmin, tmax, mask_bit, any_hit=False,
-                       interpret=interpret)
+                       interpret=interpret,
+                       sort=_auto_sort(sort, mask_bit, org.shape[0]))
     return t, u, v, i
 
 
 def packet_bvh_any(tables, org, d, tmin, tmax, mask_bit=MASK_SHADOW,
-                   interpret=False):
+                   interpret=False, sort=None):
     """Occlusion query: True where any visible triangle blocks the segment."""
     _, _, _, i = _call(tables, org, d, tmin, tmax, mask_bit, any_hit=True,
-                       interpret=interpret)
+                       interpret=interpret,
+                       sort=_auto_sort(sort, mask_bit, org.shape[0]))
     return i >= 0

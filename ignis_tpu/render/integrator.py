@@ -74,6 +74,15 @@ def _flags_trivial(scene, bit=None):
     return bool(((ent_flags & bit) != 0).all())
 
 
+def sphere_prim_base(tables):
+    """First prim id of the analytic-sphere range: past the soup and the
+    instanced pool (see _traverse_closest combine and _surface_at)."""
+    base = tables["tri_v0"].shape[0]
+    if "tl_inst" in tables:
+        base += tables["tl_inst"].shape[0] * tables["tl_tris"].shape[0]
+    return base
+
+
 def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
                       mask_bit=None):
     """Closest-hit dispatch: packet BVH (TPU) > Pallas brute > XLA paths.
@@ -115,29 +124,40 @@ def _traverse_closest(scene, tables, org, d, tmin, tmax, tri_mask,
         out = intersect_closest(org, d, tmin, tmax, tables["tri_v0"],
                                 tables["tri_e1"], tables["tri_e2"],
                                 tri_mask=tri_mask)
-    if "tl_inst" not in tables:
-        return out
-    # ---- instanced pool (two-level TLAS, ops/bw_tlas.py): combine with
-    # the soup result; pool hits are encoded past the soup id range as
-    # base + instance*pool_rows + pool_row so the instance binding
-    # survives the (t, u, v, prim) plumbing.
-    from ignis_tpu.ops.bw_tlas import tlas_traverse, tlas_traverse_xla
     from ignis_tpu.ops.pallas_bvh import MASK_BOUNCE
     mb = MASK_BOUNCE if mask_bit is None else mask_bit
-    if _use_pallas(org):
-        tt, tu, tv, ti, te = tlas_traverse(tables, org, d, tmin, tmax,
-                                           mask_bit=mb)
-    else:
-        tt, tu, tv, ti, te = tlas_traverse_xla(
-            tables, org, d, tmin, tmax, mask_bit=mb,
-            meta=getattr(scene, "tlas_meta", None))
-    t0, u0, v0, p0 = out
-    base = tables["tri_v0"].shape[0]
-    pool_rows = tables["tl_tris"].shape[0]
-    pick = (ti >= 0) & ((tt < t0) | (p0 < 0))
-    enc = base + te * pool_rows + ti
-    return (jnp.where(pick, tt, t0), jnp.where(pick, tu, u0),
-            jnp.where(pick, tv, v0), jnp.where(pick, enc, p0))
+    if "tl_inst" in tables:
+        # ---- instanced pool (two-level TLAS, ops/bw_tlas.py): combine
+        # with the soup result; pool hits are encoded past the soup id
+        # range as base + instance*pool_rows + pool_row so the instance
+        # binding survives the (t, u, v, prim) plumbing.
+        from ignis_tpu.ops.bw_tlas import tlas_traverse, tlas_traverse_xla
+        if _use_pallas(org):
+            tt, tu, tv, ti, te = tlas_traverse(tables, org, d, tmin, tmax,
+                                               mask_bit=mb)
+        else:
+            tt, tu, tv, ti, te = tlas_traverse_xla(
+                tables, org, d, tmin, tmax, mask_bit=mb,
+                meta=getattr(scene, "tlas_meta", None))
+        t0, u0, v0, p0 = out
+        base = tables["tri_v0"].shape[0]
+        pool_rows = tables["tl_tris"].shape[0]
+        pick = (ti >= 0) & ((tt < t0) | (p0 < 0))
+        enc = base + te * pool_rows + ti
+        out = (jnp.where(pick, tt, t0), jnp.where(pick, tu, u0),
+               jnp.where(pick, tv, v0), jnp.where(pick, enc, p0))
+    if "sph_rows" in tables:
+        # ---- analytic spheres (ops/spheres.py): dense XLA sweep combined
+        # the same way; ids encode past soup + pool.
+        from ignis_tpu.ops.spheres import sphere_closest
+        st_, su, sv, si = sphere_closest(tables, org, d, tmin, tmax,
+                                         mask_bit=mb)
+        t0, u0, v0, p0 = out
+        pick = (si >= 0) & ((st_ < t0) | (p0 < 0))
+        enc = sphere_prim_base(tables) + si
+        out = (jnp.where(pick, st_, t0), jnp.where(pick, su, u0),
+               jnp.where(pick, sv, v0), jnp.where(pick, enc, p0))
+    return out
 
 
 def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
@@ -168,18 +188,22 @@ def _traverse_any(scene, tables, org, d, tmin, tmax, tri_mask,
         occ = intersect_any(org, d, tmin, tmax, tables["tri_v0"],
                             tables["tri_e1"], tables["tri_e2"],
                             tri_mask=tri_mask)
-    if "tl_inst" not in tables:
-        return occ
-    from ignis_tpu.ops.bw_tlas import tlas_traverse, tlas_traverse_xla
     from ignis_tpu.ops.pallas_bvh import MASK_SHADOW
     mb = MASK_SHADOW if mask_bit is None else mask_bit
-    if _use_pallas(org):
-        out = tlas_traverse(tables, org, d, tmin, tmax, mask_bit=mb,
-                            any_hit=True)
-    else:
-        out = tlas_traverse_xla(tables, org, d, tmin, tmax, mask_bit=mb,
-                                meta=getattr(scene, "tlas_meta", None))
-    return occ | (out[3] >= 0)
+    if "tl_inst" in tables:
+        from ignis_tpu.ops.bw_tlas import tlas_traverse, tlas_traverse_xla
+        if _use_pallas(org):
+            out = tlas_traverse(tables, org, d, tmin, tmax, mask_bit=mb,
+                                any_hit=True)
+        else:
+            out = tlas_traverse_xla(tables, org, d, tmin, tmax,
+                                    mask_bit=mb,
+                                    meta=getattr(scene, "tlas_meta", None))
+        occ = occ | (out[3] >= 0)
+    if "sph_rows" in tables:
+        from ignis_tpu.ops.spheres import sphere_any
+        occ = occ | sphere_any(tables, org, d, tmin, tmax, mask_bit=mb)
+    return occ
 
 
 def _use_pallas(org):
@@ -211,10 +235,11 @@ def _surface_at(tables, prim, org, direction, t, u, v):
             # transpose; edges via toWorld so the shared cross-product
             # math below yields correct world face normal AND area)
             pool_rows = tables["tl_tris"].shape[0]
-            pooled = prim >= base
+            ninst = tables["tl_inst"].shape[0]
+            pooled = (prim >= base) & (prim < base + ninst * pool_rows)
             enc = jnp.maximum(prim - base, 0)
-            inst = enc // pool_rows
-            lrow_i = enc % pool_rows
+            inst = jnp.minimum(enc // pool_rows, ninst - 1)
+            lrow_i = jnp.minimum(enc % pool_rows, pool_rows - 1)
             prow = gather_rows(tables["tl_shade"], lrow_i)
             irow = gather_rows(tables["tl_inst"], inst)
             nrow = gather_rows(tables["tl_norm"], inst)
@@ -259,13 +284,37 @@ def _surface_at(tables, prim, org, direction, t, u, v):
     nlen = length(nraw)
     face_n = nraw * safe_div(1.0, nlen)[..., None]
     inv_area = safe_div(1.0, 0.5 * nlen)
-    entering = dot(direction, face_n) <= 0.0
-    sgn = jnp.where(entering, 1.0, -1.0)[..., None]
     ns = normalize(n0 * (1.0 - u - v)[..., None] + n1 * u[..., None] + n2 * v[..., None])
-    ns = ns * sgn
-    face_n = face_n * sgn
     point = org + direction * t[..., None]
     tex = (uv0 * (1.0 - u - v)[..., None] + uv1 * u[..., None] + uv2 * v[..., None])
+    if "sph_rows" in tables:
+        # analytic sphere hits (ops/spheres.py; sphere.art:45-70): normal
+        # straight from the center, uv carried in (u, v) by the traversal
+        sbase = sphere_prim_base(tables)
+        issph = prim >= sbase
+        srows = tables["sph_rows"].shape[0]
+        srow = gather_rows(tables["sph_rows"],
+                           jnp.clip(prim - sbase, 0, srows - 1))
+        sc = srow[:, 0:3]
+        sr = jnp.maximum(srow[:, 3], 1e-30)
+        s_ent = srow[:, 4].astype(jnp.int32)
+        n_out = (point - sc) / sr[:, None]
+        n_out = normalize(n_out)
+        sel = issph[..., None]
+        face_n = jnp.where(sel, n_out, face_n)
+        ns = jnp.where(sel, n_out, ns)
+        inv_area = jnp.where(issph, 1.0 / (4.0 * np.pi * sr * sr),
+                             inv_area)
+        tex = jnp.where(sel, jnp.stack([u, v], axis=-1), tex)
+        ent = jnp.where(issph, s_ent, ent)
+        mat_id = jnp.where(issph, gather_rows(tables["ent_mat"], s_ent),
+                           mat_id)
+        light_id = jnp.where(issph, gather_rows(tables["ent_light"], s_ent),
+                             light_id)
+    entering = dot(direction, face_n) <= 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)[..., None]
+    ns = ns * sgn
+    face_n = face_n * sgn
     tb, bb = orthonormal_basis(ns)
     return dict(point=point, n=ns, ng=face_n, is_entering=entering,
                 inv_area=inv_area, tex=tex, t=tb, b=bb,

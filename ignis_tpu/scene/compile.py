@@ -741,6 +741,8 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     inst_records: list = []         # (shape_idx, toLocal, toWorld, nmat,
     #                                  ent, flags)
     inst_bbox_pts: list = []
+    sph_list: list = []             # analytic spheres (ops/spheres.py)
+    sph_ent_idx: dict[int, int] = {}
     tri_chunks = []
     ent_mat = np.zeros(max(1, num_entities), dtype=np.int32)
     ent_flags = np.full(max(1, num_entities), 0xF, dtype=np.int32)
@@ -779,6 +781,35 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         ent_flags[ei] = flags
         bname = eobj.get("bsdf")
         ent_mat[ei] = bsdf_index.get(bname, 0)
+
+        # ---- analytic sphere promotion (SphereProvider.cpp:1-71,
+        # artic/shapes/sphere.art): "sphere" shapes under a uniform-scale
+        # transform and no media interface become EXACT sphere records
+        # (ops/spheres.py) instead of a tessellated bake — exact hits and
+        # exact solid-angle light sampling (the three-planes family's
+        # r=0.01 source was previously a blurred 512-tri uv-sphere).
+        asph = getattr(mesh, "analytic", None)
+        if (asph is not None and asph[0] == "sphere"
+                and not eobj.get("inner_medium")
+                and not eobj.get("outer_medium")):
+            R3 = m4[:3, :3]
+            s3 = np.linalg.norm(R3, axis=0)
+            uniform = (np.allclose(s3, s3[0], rtol=1e-4)
+                       and np.allclose((R3 / s3[0]).T @ (R3 / s3[0]),
+                                       np.eye(3), atol=1e-4))
+            if uniform:
+                _, c_loc, r_loc = asph
+                c_w = R3 @ np.asarray(c_loc, np.float64) + m4[:3, 3]
+                r_w = float(r_loc * s3[0])
+                rot_wl = (R3 / s3[0]).T   # world->local rotation (UV)
+                sph_ent_idx[ei] = len(sph_list)
+                sph_list.append((c_w.astype(np.float32), np.float32(r_w),
+                                 ei, flags, rot_wl.astype(np.float32)))
+                inst_bbox_pts.append((c_w - r_w).astype(np.float32))
+                inst_bbox_pts.append((c_w + r_w).astype(np.float32))
+                ent_tri_offset[ei] = offset
+                ent_tri_count[ei] = 0
+                continue
 
         if ename in instanced_ents and mesh.face_count > 0:
             if sname not in inst_shape_idx:
@@ -1031,9 +1062,12 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             if ent is None:
                 raise SceneError(f"Area light '{lname}' references unknown entity")
             o_, c_ = int(ent_tri_offset[ent]), int(ent_tri_count[ent])
-            ent_area = float(0.5 * np.linalg.norm(
-                np.cross(tri_e1[o_:o_ + c_], tri_e2[o_:o_ + c_]),
-                axis=-1).sum()) if c_ else 1.0
+            if ent in sph_ent_idx:
+                ent_area = 4.0 * math.pi * float(sph_list[sph_ent_idx[ent]][1]) ** 2
+            else:
+                ent_area = float(0.5 * np.linalg.norm(
+                    np.cross(tri_e1[o_:o_ + c_], tri_e2[o_:o_ + c_]),
+                    axis=-1).sum()) if c_ else 1.0
             if "power" in lobj:
                 # AreaLight.cpp:101-105: radiance = power / (pi * area)
                 pw, _tex = _color(lobj.get("power"), (1, 1, 1))
@@ -1043,7 +1077,17 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             scale, _ = _color(lobj.get("scale"), (1, 1, 1))
             rad = rad * scale
             ent_light[ent] = lid
-            if ent in ent_plane and lobj.get("optimize", True):
+            if ent in sph_ent_idx:
+                # analytic sphere emitter (light/area.art:241-297):
+                # equal-area sampling of the VISIBLE half, pdf 2/area
+                cw, rw, _, _, _ = sph_list[sph_ent_idx[ent]]
+                lights.append(LightInfo(LIGHT_AREA_SPHERE, lname, False,
+                                        False, entity=ent, draws=2))
+                # radiance FIRST so _area_light_radiance's default
+                # (data[0:3]) covers sphere emitters like mesh ones
+                light_f.append(lrow(rad, [rw], cw, [float(ent)],
+                                    [ent_area]))
+            elif ent in ent_plane and lobj.get("optimize", True):
                 origin, xa, ya, nrm, area = ent_plane[ent]
                 lights.append(LightInfo(LIGHT_AREA_PLANE, lname, False, False,
                                         entity=ent, draws=2))
@@ -1240,6 +1284,8 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             flux[li] = float(dataf[13:16].mean()) * float(dataf[12]) * math.pi
         elif linfo.type == LIGHT_AREA_MESH:
             flux[li] = float(dataf[0:3].mean()) * math.pi
+        elif linfo.type == LIGHT_AREA_SPHERE:
+            flux[li] = float(dataf[0:3].mean()) * float(dataf[8]) * math.pi
         elif linfo.type in (LIGHT_ENV, LIGHT_ENV_CDF):
             flux[li] = float(dataf[0:3].mean()) * math.pi * scene_r * scene_r
         elif linfo.type == LIGHT_DIRECTIONAL:
@@ -1293,6 +1339,8 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
                         + (tri_e1[o:o + c] + tri_e2[o:o + c]) / 3.0)
                 p = cent.mean(axis=0) if c else scene_c
                 dd, hd = (0, 0, 1), False
+            elif t == LIGHT_AREA_SPHERE:
+                p, dd, hd = dataf[4:7], (0, 0, 1), False
             else:
                 p, dd, hd = scene_c, (0, 0, 1), False
             hpos.append(np.asarray(p, np.float32))
@@ -1346,6 +1394,15 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
     }
     if halton_setup is not None:
         tables["halton_offsets"] = halton_setup.pop("offsets")
+    if sph_list:
+        sph_rows = np.zeros((len(sph_list), 16), np.float32)
+        for si, (cw, rw, ei, fl, rot) in enumerate(sph_list):
+            sph_rows[si, 0:3] = cw
+            sph_rows[si, 3] = rw
+            sph_rows[si, 4] = np.float32(ei)
+            sph_rows[si, 5] = np.float32(fl)
+            sph_rows[si, 6:15] = rot.reshape(9)
+        tables["sph_rows"] = sph_rows
     tables.update(light_extra)
     tables.update(klems_tables_all)
 

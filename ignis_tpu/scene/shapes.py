@@ -391,12 +391,18 @@ def build_shape(obj: dict, resolve_path) -> TriMesh:
                                 float(_prop(obj, "radius", 1.0)),
                                 int(_prop(obj, "subdivisions", 4)))
     elif stype in ("uvsphere", "sphere"):
-        # NOTE: "sphere" is analytic in the reference (SphereProvider); we
-        # currently tessellate. TODO: analytic sphere primitive path.
         mesh = _make_uv_sphere(_vec3(obj, "center", [0, 0, 0]),
                                float(_prop(obj, "radius", 1.0)),
                                int(_prop(obj, "stacks", 32)),
                                int(_prop(obj, "slices", 16)))
+        if stype == "sphere":
+            # "sphere" is analytic in the reference (SphereProvider.cpp:
+            # 1-71, artic/shapes/sphere.art:45-132); the tessellation above
+            # stays as the fallback for entities the analytic path cannot
+            # serve (non-uniform scale, media interfaces).  The compiler
+            # promotes eligible entities to exact sphere records.
+            mesh.analytic = ("sphere", _vec3(obj, "center", [0, 0, 0]),
+                             float(_prop(obj, "radius", 1.0)))
     elif stype == "disk":
         mesh = _make_disk(_vec3(obj, "origin", [0, 0, 0]),
                           _vec3(obj, "normal", [0, 0, 1]),

@@ -305,6 +305,53 @@ def main():
                           "ms_per_iter": round(dt * 1e3, 2)}), flush=True)
         return
 
+    if mode in ("bigrw", "bigstub", "bigd1"):
+        # big-scene step decomposition: full step (bigrw), traversal
+        # stubbed (bigstub -> refill+shade+scatter cost), depth-1
+        # (bigd1 -> camera+NEE only); differences isolate bounce cost
+        from _big_bench import make_scene
+        import ignis_tpu.render.integrator as integ
+        from ignis_tpu.render.integrator import render_wavefront
+        sc2 = make_scene()
+        if mode == "bigd1":
+            sc2["technique"]["max_depth"] = 1
+        rt2 = Runtime(sc2, use_bvh=True)
+        scene2, tables2 = rt2.scene, rt2.tables
+        if mode == "bigstub":
+            rng3 = np.random.default_rng(9)
+            Tn = int(tables2["tri_v0"].shape[0])
+            prim_fix = jnp.asarray(
+                rng3.integers(0, Tn, 65536).astype(np.int32))
+
+            def fake_closest(scene_, tables_, org, d, tmn, tmx, tri_mask,
+                             mask_bit=None):
+                nl = org.shape[0]
+                z = (0.0 * org[:, 0]).astype(jnp.int32)
+                t_ = 1.3 + 0.0 * org[:, 0]
+                uu = jnp.full((nl,), 0.3, jnp.float32)
+                return (t_, uu, uu, prim_fix[:nl] + z)
+
+            def fake_any(scene_, tables_, org, d, tmn, tmx, tri_mask,
+                         mask_bit=None):
+                return (org[:, 0] * 0.0) > 1.0
+
+            integ._traverse_closest = fake_closest
+            integ._traverse_any = fake_any
+        npix2 = scene2.width * scene2.height
+
+        def body(i, c):
+            fb, _ = render_wavefront(
+                scene2, tables2, None, None, None,
+                i.astype(jnp.uint32) + (0.0 * c).astype(jnp.uint32),
+                jnp.uint32(0), 0, capacity=65536, spi=1,
+                work_mode="arith", work_total=npix2)
+            return c + jnp.sum(fb) * jnp.float32(1e-12)
+        dt, tl_, th_ = diff_time(body, lo=1, hi=3)
+        print(json.dumps({"mode": mode,
+                          "msps": round(npix2 / dt / 1e6, 3),
+                          "ms_per_step": round(dt * 1e3, 1)}), flush=True)
+        return
+
     if mode == "scan":
         from ignis_tpu.render.integrator import trace_wave
         n = 1 << 19
