@@ -85,12 +85,27 @@ class Runtime:
         if use_bvh is None:
             use_bvh = ntris > _BVH_MIN_TRIS
         if ntris > 0:
-            from ignis_tpu.ops.bvh import build_bvh, bvh_tables
-            bvh = build_bvh(np.asarray(tables["tri_v0"]),
-                            np.asarray(tables["tri_e1"]),
-                            np.asarray(tables["tri_e2"]))
+            # All host-side acceleration builds route through the asset
+            # cache keyed on geometry content (CacheManager.h:7-33 caches
+            # per-shape BVHs the same way): a second process loading the
+            # same scene skips the SAH build + table layout entirely.
+            from ignis_tpu.ops.bvh import BVH, build_bvh, bvh_tables
+            from ignis_tpu.utils.cache import cached_arrays_data
+            geo = (np.asarray(tables["tri_v0"]),
+                   np.asarray(tables["tri_e1"]),
+                   np.asarray(tables["tri_e2"]))
+
+            def _build_bvh_arrays():
+                b = build_bvh(*geo)
+                return dict(node_min=b.node_min, node_max=b.node_max,
+                            node_left=b.node_left, node_right=b.node_right,
+                            node_count=b.node_count, tri_order=b.tri_order)
+
+            bvh = BVH(**cached_arrays_data(geo, "bvh", _build_bvh_arrays))
             if use_bvh:  # XLA per-lane traversal tables (CPU path)
                 tables = bvh_tables(bvh, tables)
+            ent_flags = np.asarray(tables["ent_flags"])
+            tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
             if ntris >= _PB_MIN_TRIS:
                 # packet-BVH tables for the Pallas TPU kernel; below the
                 # threshold the fused brute-force sweep is faster (packet
@@ -98,11 +113,9 @@ class Runtime:
                 # full soup test — measured on diamond_scene).
                 from ignis_tpu.ops.pallas_bvh import (build_packet_bvh,
                                                       packet_tables_fit)
-                ent_flags = np.asarray(tables["ent_flags"])
-                tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
-                pb = build_packet_bvh(
-                    bvh, tables["tri_v0"], tables["tri_e1"],
-                    tables["tri_e2"], tri_flags)
+                pb = cached_arrays_data(
+                    geo + (tri_flags,), "pbvh",
+                    lambda: build_packet_bvh(bvh, *geo, tri_flags))
                 if packet_tables_fit(pb):
                     tables = dict(tables)
                     tables.update(pb)
@@ -111,12 +124,11 @@ class Runtime:
                 # sweep for soups below the packet threshold ((T,128) f32
                 # row table, so capped to keep VMEM bounded).
                 from ignis_tpu.ops.bw_intersect import bw_tables
-                ent_flags = np.asarray(tables["ent_flags"])
-                tri_flags = ent_flags[np.asarray(tables["tri_ent"])]
                 tables = dict(tables)
-                tables.update(bw_tables(
-                    tables["tri_v0"], tables["tri_e1"], tables["tri_e2"],
-                    tri_flags, order=np.asarray(bvh.tri_order)))
+                tables.update(cached_arrays_data(
+                    geo + (tri_flags,), "bwtab",
+                    lambda: bw_tables(*geo, tri_flags,
+                                      order=np.asarray(bvh.tri_order))))
         # Instanced-pool tables (two-level TLAS, ops/bw_tlas.py): unique
         # shapes keep ONE local copy; instances are transform records.
         if getattr(self.scene, "instanced", None):

@@ -648,9 +648,11 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         if bsdf_types[i] == BSDF_DJMEASURED:
             obj = flat_leaves_a[i]
             from ignis_tpu.measured.djmeasured import load_brdf
+            from ignis_tpu.utils.cache import cached_pickle
             try:
-                tbl, info = load_brdf(scene.resolve_path(obj["filename"]),
-                                      f"dj{i}")
+                tbl, info = cached_pickle(
+                    scene.resolve_path(obj["filename"]), "djbrdf",
+                    lambda p: load_brdf(p, f"dj{i}"), extra=f"dj{i}")
             except Exception as e:
                 import warnings
                 warnings.warn(f"Failed to load djmeasured "
@@ -665,8 +667,13 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             obj = flat_leaves_a[i]
             from ignis_tpu.measured.tensortree import (
                 load_tensortree_xml, tensortree_tables)
+            from ignis_tpu.utils.cache import cached_pickle
             try:
-                comps = load_tensortree_xml(scene.resolve_path(obj["filename"]))
+                tbl, info = cached_pickle(
+                    scene.resolve_path(obj["filename"]), "ttbsdf",
+                    lambda p: tensortree_tables(load_tensortree_xml(p),
+                                                f"tt{i}"),
+                    extra=f"tt{i}")
             except Exception as e:
                 import warnings
                 warnings.warn(f"Failed to load tensortree "
@@ -674,7 +681,6 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
                 bsdf_types[i] = BSDF_DIFFUSE
                 mat_colors[i, 0] = np.float32([1, 0, 1])
                 continue
-            tbl, info = tensortree_tables(comps, f"tt{i}")
             up = np.asarray(obj.get("up", [0, 0, 1]), np.float64)
             info["up"] = (up / max(np.linalg.norm(up), 1e-12)).astype(np.float32)
             tt_info[i] = info
@@ -684,8 +690,12 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             continue
         obj = flat_leaves_a[i]
         from ignis_tpu.measured.klems import klems_tables, load_klems_xml
+        from ignis_tpu.utils.cache import cached_pickle
         try:
-            comps = load_klems_xml(scene.resolve_path(obj["filename"]))
+            tbl, info = cached_pickle(
+                scene.resolve_path(obj["filename"]), "klems",
+                lambda p: klems_tables(load_klems_xml(p), f"klems{i}"),
+                extra=f"klems{i}")
         except Exception as e:
             import warnings
             warnings.warn(f"Failed to load klems '{obj.get('filename')}': {e};"
@@ -693,7 +703,6 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             bsdf_types[i] = BSDF_DIFFUSE
             mat_colors[i, 0] = np.float32([1, 0, 1])
             continue
-        tbl, info = klems_tables(comps, f"klems{i}")
         up = np.asarray(obj.get("up", [0, 0, 1]), np.float64)
         info["up"] = (up / max(np.linalg.norm(up), 1e-12)).astype(np.float32)
         klems_info[i] = info
