@@ -29,8 +29,16 @@ def init_distributed(coordinator=None, num_processes=None, process_id=None):
     when running single-process.
     """
     import os
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NB: do NOT probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize refuses to run
+    # (found by tests/test_multihost.py).  The distributed client handle
+    # is the side-effect-free "already initialized" signal.
+    try:
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except Exception:
+        pass
     kw = {}
     if coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         kw["coordinator_address"] = (
