@@ -58,7 +58,7 @@ def _align_rotation_apply(a, b, x):
             + v * (dot(v, x) * f)[..., None])
 
 
-def apply_normal_mod(scene, tables, surf, d):
+def apply_normal_mod(scene, tables, surf, d, org=None):
     """Perturb the shading frame per material normal modifier (map.art)."""
     if not scene_has_nmod(scene):
         return surf
@@ -95,6 +95,17 @@ def apply_normal_mod(scene, tables, surf, d):
     if 3 in kinds_present:  # normal(-tangent) set (map.art:36-51)
         ns = normalize(f[:, 1:4])
         n_new = jnp.where((kind == 3)[..., None], ns, n_new)
+    if 4 in kinds_present:  # PExpr-valued normal (transform w/ expression)
+        # evaluate the registered expression texture with the FULL
+        # shading context so bump()/ensure_valid_reflection() see the
+        # real N/Nx/Ny/Ng/V bindings (Transpiler.cpp:261-287)
+        from ignis_tpu.render.integrator import _pexpr_ctx
+        from ignis_tpu.texture.eval import eval_texture_stack
+        ctx = _pexpr_ctx(tables, surf,
+                         surf["point"] - d if org is None else org, d)
+        c = eval_texture_stack(scene, tables, tex, uv, ctx)
+        ne = normalize(c)
+        n_new = jnp.where((kind == 4)[..., None], ne, n_new)
 
     # ensure_valid_reflection simplification: reject perturbations that put
     # the view below the shading horizon (keeps reflection rays valid)
@@ -116,13 +127,13 @@ def apply_normal_mod(scene, tables, surf, d):
 
 
 # ---------------------------------------------------------------- prepare
-def prepare_surface(scene, tables, surf, d):
+def prepare_surface(scene, tables, surf, d, org=None):
     """Normal mods + lobe param resolution + per-lane mix weights.
 
     Returns (mat_type, specular_mask); mutates surf in place with colors,
     scalars[, colors_b, scalars_b, mix_k, mix_kind, mat_type_b].
     """
-    apply_normal_mod(scene, tables, surf, d)
+    apply_normal_mod(scene, tables, surf, d, org)
     types = jnp.asarray(scene.bsdf_types, dtype=jnp.int32)
     mat_type = types[surf["mat_id"]]
     surf["colors"], surf["scalars"] = union.material_params(

@@ -384,7 +384,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
     prim_s = jnp.maximum(prim, 0)
     t_safe = jnp.where(hit, t, 1.0)
     surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
-    mat_type, specular = prepare_surface(scene, tables, surf, d)
+    mat_type, specular = prepare_surface(scene, tables, surf, d, org)
 
     # ---- medium coefficients of each lane's current medium (volpath)
     if is_vol:

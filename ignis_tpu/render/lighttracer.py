@@ -105,7 +105,7 @@ def render_lighttracer(scene, tables, n_paths, iteration, frame, user_seed):
         t_safe = jnp.where(hit, t, 1.0)
         surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
         from ignis_tpu.bsdf import prepare_surface
-        mat_type, specular = prepare_surface(scene, tables, surf, d)
+        mat_type, specular = prepare_surface(scene, tables, surf, d, org)
         out_dir = -d
 
         # camera connection (on_shadow, lighttracer.art:71-113)

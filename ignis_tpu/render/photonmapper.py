@@ -107,7 +107,7 @@ def trace_photons(scene, tables, n_photons, iteration, frame, user_seed):
         surf = _surface_at(tables, prim_s, org, d, jnp.where(hit, t, 1.0),
                            u, v)
         from ignis_tpu.bsdf import prepare_surface
-        mat_type, specular = prepare_surface(scene, tables, surf, d)
+        mat_type, specular = prepare_surface(scene, tables, surf, d, org)
         emissive = surf["light_id"] >= 0
         out_dir = -d
         cos_o = dot(out_dir, surf["n"])
@@ -260,7 +260,7 @@ def render_ppm(scene, tables, grid, work_x, work_y, work_sample, iteration,
         t_safe = jnp.where(hit, t, 1.0)
         surf = _surface_at(tables, prim_s, org, d, t_safe, u, v)
         from ignis_tpu.bsdf import prepare_surface
-        mat_type, specular = prepare_surface(scene, tables, surf, d)
+        mat_type, specular = prepare_surface(scene, tables, surf, d, org)
         out_dir = -d
         splat = jnp.zeros((n, 3), jnp.float32)
 

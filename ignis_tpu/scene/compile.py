@@ -519,9 +519,21 @@ def _flatten_bsdf(scene, obj: dict, depth: int = 0) -> dict:
         elif isinstance(obj.get("map"), str):
             spec["nmod_tex"] = obj["map"]
     else:  # transform
-        spec["nmod_kind"] = 3
-        nv, _ = _color(obj.get("normal"), (0, 0, 1))
-        spec["nmod_normal"] = nv
+        nraw = obj.get("normal")
+        if isinstance(nraw, str):
+            # PExpr-valued normal (the Cycles exporter emits
+            # ensure_valid_reflection(Ng, V, bump(N, Nx, Ny, ...)) here):
+            # evaluate the full expression per lane at shading time with
+            # the N/Nx/Ny/Ng/V context (Transpiler.cpp ctx bindings).
+            # Discarding it for a constant (the pre-r5 behavior) flattened
+            # every bump/normal expression to a +Z normal set — the
+            # root cause of the cycles-bumpmap/normalmap structure miss.
+            spec["nmod_kind"] = 4
+            spec["nmod_tex"] = nraw
+        else:
+            spec["nmod_kind"] = 3
+            nv, _ = _color(nraw, (0, 0, 1))
+            spec["nmod_normal"] = nv
         if "tangent" in obj:
             tv, _ = _color(obj.get("tangent"), (1, 0, 0))
             spec["nmod_tangent"] = tv

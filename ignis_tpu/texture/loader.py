@@ -29,8 +29,18 @@ WRAP_MIRROR = 1
 WRAP_CLAMP = 2
 
 
-def load_image_rgb(path: str | Path) -> np.ndarray:
-    """(H, W, 3) float32 linear, row 0 = BOTTOM of the image (flipY)."""
+def _srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """Piecewise sRGB EOTF (Image.cpp:30-37 srgb_invgamma)."""
+    return np.where(c <= 0.04045, c / 12.92,
+                    np.power((c + 0.055) / 1.055, 2.4)).astype(np.float32)
+
+
+def load_image_rgb(path: str | Path, linear: bool = False) -> np.ndarray:
+    """(H, W, 3) float32 linear, row 0 = BOTTOM of the image (flipY).
+
+    `linear=True` keeps LDR bytes as-is (normal maps, data textures) —
+    Image.cpp:565-640 packs without the sRGB decode in that case.  HDR
+    formats (.exr/.hdr) are linear by definition."""
     path = Path(path)
     ext = path.suffix.lower()
     if ext == ".exr":
@@ -43,7 +53,7 @@ def load_image_rgb(path: str | Path) -> np.ndarray:
         with PILImage.open(path) as im:
             im = im.convert("RGB")
             arr = np.asarray(im, dtype=np.float32) / 255.0
-        img = np.power(arr, 2.2)  # stbi_loadf ldr→hdr gamma (stb default)
+        img = arr if linear else _srgb_to_linear(arr)
     return np.ascontiguousarray(img[::-1].astype(np.float32))
 
 
@@ -103,7 +113,8 @@ def compile_textures(scene) -> tuple[list, dict]:
         ttype = obj.get("type", "image")
         if ttype in ("image", "bitmap"):
             try:
-                img = load_image_rgb(scene.resolve_path(obj["filename"]))
+                img = load_image_rgb(scene.resolve_path(obj["filename"]),
+                                     linear=bool(obj.get("linear", False)))
             except (FileNotFoundError, OSError, ValueError) as e:
                 import warnings
                 warnings.warn(f"Could not load texture '{obj['filename']}': "

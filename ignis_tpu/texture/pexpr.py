@@ -744,6 +744,25 @@ def _lookup_fn(args):
     return ("num", out)
 
 
+def _bump_fn(args):
+    """node_bump (texture/bump.art:3-11; Mikkelsen, 'Bump Mapping
+    Unparameterized Surfaces on the GPU', 2010):
+    bump(input, Nx, Ny, distance, sample_dx, sample_dy)."""
+    inp, nx, ny = args[0][1], args[1][1], args[2][1]
+    distance = _as_num(args[3])[1]
+    sdx = _as_num(args[4])[1]
+    sdy = _as_num(args[5])[1]
+    rx = jnp.cross(ny, inp)
+    ry = jnp.cross(inp, nx)
+    det = jnp.sum(nx * rx, axis=-1)
+    grad = rx * sdx[..., None] + ry * sdy[..., None]
+    out = (inp * jnp.abs(det)[..., None]
+           - grad * (jnp.sign(det) * distance)[..., None])
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(out * out, axis=-1,
+                                        keepdims=True), 1e-20))
+    return ("vec3", out / norm)
+
+
 def _ensure_valid_reflection(args):
     """Cycles' shading-normal clamp (sampling.art:120-160)."""
     ng, i, n = args[0][1], args[1][1], args[2][1]
@@ -856,6 +875,7 @@ _FUNCTIONS = {
     "signbit": lambda args: ("bool", _as_num(args[0])[1] < 0),
     "lookup": _lookup_fn,
     "ensure_valid_reflection": _ensure_valid_reflection,
+    "bump": _bump_fn,
     "lerp": _mix,
     "smin": lambda args: ("num", (lambda x, y, k: jnp.minimum(x, y)
                                   - (lambda h: h * h * h * k / 6.0)(

@@ -86,10 +86,18 @@ TOLERANCES = {
     # reference's conversions exactly.
     "cycles-lights": dict(rel_mean=0.12, relmse=2.0),
     "cycles-sun": dict(rel_mean=0.1, relmse=2.0),  # mean exact after normalization; pixelwise residual is soft-shadow MC noise at 64 spp
-    # bump/normal-map highlight structure differs from Cycles' shader-level
-    # bump mapping; energy agrees to ~14%
-    "cycles-bumpmap": dict(rel_mean=0.3, relmse=60.0),
-    "cycles-normalmap": dict(rel_mean=0.3, relmse=60.0),
+    # r5: the transform-BSDF normal EXPRESSIONS are now actually
+    # evaluated (bump()/ensure_valid_reflection() with real N/Nx/Ny
+    # bindings; the pre-r5 code silently replaced them with a constant
+    # +Z normal set, which left the metal sphere dark and made these
+    # boards agree by accident), and `linear: true` normal maps are no
+    # longer sRGB-decoded.  The remaining deviation is a ~2x brightness
+    # on lit pixels (the cycles-lights point-light Watt-convention
+    # family) PLUS residual highlight structure (ratio p10-p90 ~[0.9,
+    # 4.7] — not a clean constant, so no NORMALIZE entry is justified).
+    # Tracked as KNOWN-DEVIATION, not pass (see KNOWN_DEVIATION below).
+    "cycles-bumpmap": dict(rel_mean=1.2, relmse=60.0),
+    "cycles-normalmap": dict(rel_mean=1.2, relmse=60.0),
     # measured-BSDF arrays: we implement the reference's own
     # cosine-fallback sampler (klems.art:257 "Old, non optimized sampler",
     # the CDF sampler is commented out upstream), so pixel variance vs the
@@ -128,6 +136,18 @@ TOLERANCES = {
     "three-planes-interface": dict(rel_mean=0.8, relmse=5.0),
     "two-planes-mirror": dict(rel_mean=0.15, relmse=2.5),
     "two-planes": dict(rel_mean=0.1, relmse=1.0),
+}
+
+# Scenes whose residual vs the external reference is understood but not
+# yet closed: they report status "known-deviation" (counted separately —
+# neither pass nor fail) as long as they stay inside their tolerance
+# band, so a regression still flips them to fail but the board never
+# green-washes them as agreement.
+KNOWN_DEVIATION = {
+    "cycles-bumpmap": "point-light Watt convention (~2x) + residual "
+                      "bump highlight structure vs Cycles",
+    "cycles-normalmap": "point-light Watt convention (~2x) + residual "
+                        "highlight structure vs Cycles",
 }
 
 
@@ -215,7 +235,7 @@ def main(argv=None):
 
     from ignis_tpu.utils.exr import read_exr
     board = {}
-    npass = nfail = nerror = nskip = 0
+    npass = nfail = nerror = nskip = nknown = 0
     for stem, scene, ref_path in cases:
         if args.only and stem not in args.only:
             continue
@@ -236,14 +256,21 @@ def main(argv=None):
                     NORMALIZE[stem], np.float32)
             rel_mean, relmse = compare(ours, ref)
             ok = rel_mean <= tol["rel_mean"] and relmse <= tol["relmse"]
-            entry.update(status="pass" if ok else "fail",
+            status = "pass" if ok else "fail"
+            if stem in KNOWN_DEVIATION and ok:
+                status = "known-deviation"
+                entry["deviation"] = KNOWN_DEVIATION[stem]
+            entry.update(status=status,
                          rel_mean=round(rel_mean, 4),
                          relmse=round(relmse, 4),
                          mean_ours=round(float(np.mean(ours)), 5),
                          mean_ref=round(float(np.mean(ref)), 5),
                          secs=round(time.time() - t0, 1))
-            npass += ok
-            nfail += not ok
+            if status == "known-deviation":
+                nknown += 1
+            else:
+                npass += ok
+                nfail += not ok
         except MissingAsset as e:
             entry.update(status="skip", error=f"missing asset: {e}",
                          secs=round(time.time() - t0, 1))
@@ -260,8 +287,8 @@ def main(argv=None):
               flush=True)
 
     board["_summary"] = dict(passed=npass, failed=nfail, errors=nerror,
-                             skipped=nskip,
-                             total=npass + nfail + nerror + nskip,
+                             skipped=nskip, known_deviation=nknown,
+                             total=npass + nfail + nerror + nskip + nknown,
                              spp=args.spp)
     Path(args.out).write_text(json.dumps(board, indent=1))
     print(json.dumps(board["_summary"]))
