@@ -168,6 +168,88 @@ class MissingAsset(RuntimeError):
     pass
 
 
+# ---- stand-in adjudication for scenes whose only missing asset is the
+# phalzer_forest_01_4k.exr HDRI (not shipped in the reference checkout;
+# the box has no network egress).  A synthetic environment cannot
+# reproduce the reference PIXELS, but it can adjudicate the MACHINERY:
+# the scene is rendered twice with a generated 2048x1024 HDR (sky
+# gradient + ground + ~1e3:1 sun disk), once with the 2D-CDF env
+# importance sampler and once with uniform equal-area sampling.  Both
+# estimators target the same integral, so agreeing means (finite render,
+# EXR decode, CDF build, uv mapping, MIS) all work on a real 4k-class
+# HDR; the board records status "standin" with both means.
+STANDIN_STEMS = {"cycles-env", "cycles-principled", "env4k"}
+_STANDIN_HDRI = "phalzer_forest_01_4k.exr"
+
+
+def _make_standin_env(path):
+    h, w = 1024, 2048
+    v = (np.arange(h, dtype=np.float32) + 0.5) / h          # 0 top
+    u = (np.arange(w, dtype=np.float32) + 0.5) / w
+    uu, vv = np.meshgrid(u, v)
+    theta = vv * np.pi
+    sky_t = np.clip(np.cos(theta), 0.0, 1.0)
+    img = np.zeros((h, w, 3), np.float32)
+    img[..., 0] = 0.25 + 0.45 * sky_t
+    img[..., 1] = 0.35 + 0.5 * sky_t
+    img[..., 2] = 0.55 + 0.7 * sky_t
+    ground = theta > np.pi / 2
+    img[ground] = np.float32([0.18, 0.14, 0.10])
+    # sun disk ~2 deg at theta=60deg
+    sd = np.stack([np.sin(theta) * np.cos(2 * np.pi * uu),
+                   np.cos(theta),
+                   np.sin(theta) * np.sin(2 * np.pi * uu)], -1)
+    sun = np.float32([np.sin(np.pi / 3) * np.cos(0.7), np.cos(np.pi / 3),
+                      np.sin(np.pi / 3) * np.sin(0.7)])
+    cosang = np.clip(np.sum(sd * sun, -1), -1, 1)
+    img[cosang > np.cos(np.radians(1.0))] = np.float32([900., 850., 700.])
+    from ignis_tpu.utils.exr import write_exr
+    write_exr(str(path), img)
+
+
+def render_standin(scene_path, spp, out_dir):
+    """Returns (mean_cdf, mean_uniform) of the scene rendered with the
+    generated stand-in HDRI under both env samplers."""
+    import json as _json
+    import shutil
+    env_dir = out_dir / "textures" / "environment"
+    env_dir.mkdir(parents=True, exist_ok=True)
+    std = env_dir / _STANDIN_HDRI
+    if not std.exists():
+        _make_standin_env(std)
+    means = []
+    from ignis_tpu.scene.parser import (_strip_json_comments,
+                                        _strip_trailing_commas)
+    for use_cdf in (True, False):
+        d = _json.loads(_strip_trailing_commas(_strip_json_comments(
+            Path(scene_path).read_text())))
+        for tex in d.get("textures", []):
+            fn = str(tex.get("filename", ""))
+            if _STANDIN_HDRI in fn:
+                tex["filename"] = str(std)
+        for l in d.get("lights", []):
+            if l.get("type") in ("env", "envmap", "constant"):
+                l["cdf"] = use_cdf
+        # externals may pull the env light indirectly; also rewrite any
+        # copied scene includes by staging next to the original
+        tmp = out_dir / (Path(scene_path).stem
+                         + (".cdf" if use_cdf else ".uni") + ".json")
+        tmp.write_text(_json.dumps(d))
+        # resolve relative mesh paths against the original directory
+        from ignis_tpu.api import Runtime
+        from ignis_tpu.scene.parser import load_scene_dict
+        sc = load_scene_dict(d, base_dir=Path(scene_path).parent)
+        rt = Runtime(sc)
+        spi = 4
+        for _ in range(max(1, spp // spi)):
+            rt.step(spi=spi)
+        img = np.asarray(rt.currentFrame())
+        if not np.isfinite(img).all():
+            raise RuntimeError("stand-in render not finite")
+        means.append(float(img.mean()))
+    return means[0], means[1]
+
+
 def render_scene(scene_path, spp, width=None, height=None):
     import warnings
 
@@ -272,6 +354,33 @@ def main(argv=None):
                 npass += ok
                 nfail += not ok
         except MissingAsset as e:
+            if stem in STANDIN_STEMS:
+                try:
+                    mc, mu = render_standin(scene, args.spp,
+                                            Path("/tmp/ignis_standin"))
+                    dev = abs(mc - mu) / max(mu, 1e-9)
+                    ok2 = dev < 0.15
+                    entry.update(
+                        status="standin" if ok2 else "fail",
+                        mean_cdf=round(mc, 5), mean_uniform=round(mu, 5),
+                        sampler_dev=round(dev, 4),
+                        note="HDRI not shipped; machinery adjudicated "
+                             "with generated stand-in (CDF vs uniform "
+                             "env sampler agreement)",
+                        secs=round(time.time() - t0, 1))
+                    if ok2:
+                        nknown += 1
+                    else:
+                        nfail += 1
+                except Exception as e2:  # noqa: BLE001
+                    entry.update(status="error",
+                                 error=f"standin: {type(e2).__name__}: {e2}",
+                                 secs=round(time.time() - t0, 1))
+                    nerror += 1
+                board[stem] = entry
+                print(f"[{entry['status']:5s}] {stem}: "
+                      f"{entry.get('note', entry.get('error'))}", flush=True)
+                continue
             entry.update(status="skip", error=f"missing asset: {e}",
                          secs=round(time.time() - t0, 1))
             nskip += 1
