@@ -12,6 +12,8 @@ Controls (raw tty):
   w/a/s/d  move forward/left/back/right        q/e   move down/up
   arrows   look around                         r     reset accumulation
   +/-      exposure                            t     cycle tonemap operator
+  v        cycle AOV view (Color/Normals/Albedo/Depth/Denoised)
+  h        toggle luminance histogram pane (Inspector.cpp analog)
   1..9     save pose bookmark   F1..: use --poses file
   p        screenshot (EXR + tonemapped)       x     quit
 
@@ -47,6 +49,63 @@ def _ansi_image(img, cols):
                         f"\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀")
         out.append("".join(line) + "\x1b[0m")
     return "\n".join(out)
+
+
+_VIEWS = ("Color", "Normals", "Albedo", "Depth", "Denoised")
+
+
+def _aov_frame(rt, mode):
+    """Inspector AOV display frames (view/Inspector.cpp analog): the
+    infobuffer technique's Normals/Albedo/Depth buffers and the a-trous
+    denoised color, mapped to displayable [0,1] rgb."""
+    import jax.numpy as jnp
+
+    from ignis_tpu.render.techniques import infobuffer_aovs
+    w, h = rt.scene.width, rt.scene.height
+    idx = np.arange(w * h, dtype=np.int32)
+    x = jnp.asarray(idx % w)
+    y = jnp.asarray(idx // w)
+    aov = infobuffer_aovs(rt.scene, rt.tables, x, y, jnp.uint32(0),
+                          jnp.uint32(0), jnp.uint32(0), 0)
+    if mode == "Normals":
+        img = np.asarray(aov["Normals"]).reshape(h, w, 3) * 0.5 + 0.5
+    elif mode == "Albedo":
+        img = np.asarray(aov["Albedo"]).reshape(h, w, 3)
+    elif mode == "Depth":
+        d = np.asarray(aov["Depth"]).reshape(h, w)
+        dmax = max(float(d[np.isfinite(d)].max(initial=0.0)), 1e-6)
+        img = np.repeat((d / dmax)[..., None], 3, axis=-1)
+    else:  # Denoised
+        from ignis_tpu.render.denoise import denoise_runtime
+        img = np.asarray(denoise_runtime(rt))
+    return np.clip(img, 0.0, 1.0)
+
+
+def _histogram_pane(rt, cols, rows=6, bins=48):
+    """Luminance histogram bar pane (view/Inspector.cpp histogram; data
+    from Runtime.imageinfo's ig_imageinfo_shader analog)."""
+    info = rt.imageinfo(bins=bins, histogram=True)
+    hist = np.asarray(info["histogram"], np.float64)
+    top = max(hist.max(), 1.0)
+    blocks = " ▁▂▃▄▅▆▇█"
+    # one text row of eighth-blocks per `rows` slice, oldest trick in tty
+    lines = []
+    for r in range(rows, 0, -1):
+        lo, hi = (r - 1) / rows, r / rows
+        cells = []
+        for b in range(min(bins, cols)):
+            f = hist[b] / top
+            if f >= hi:
+                cells.append(blocks[-1])
+            elif f <= lo:
+                cells.append(" ")
+            else:
+                cells.append(blocks[int((f - lo) / (hi - lo) * 8)])
+        lines.append("".join(cells))
+    lines.append(f"lum min={float(info['min']):.3g} "
+                 f"avg={float(info['avg']):.3g} "
+                 f"max={float(info['max']):.3g} (h hides)")
+    return "\n".join(lines)
 
 
 def _tonemapped(rt, method, exposure):
@@ -136,6 +195,8 @@ def main(argv=None):
     import tty
     method = 3  # aces
     exposure = 1.0
+    view = 0          # index into _VIEWS (v cycles)
+    show_hist = False
     poses: dict = {}
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
@@ -145,17 +206,31 @@ def main(argv=None):
         apply_pose(rt, o)
         while True:
             rt.step(spi=args.spi)
-            ldr = _tonemapped(rt, method, exposure)
+            if _VIEWS[view] == "Color":
+                ldr = _tonemapped(rt, method, exposure)
+            else:
+                ldr = (_aov_frame(rt, _VIEWS[view]) * 255).astype(np.uint8)
             sys.stdout.write("\x1b[H" + _ansi_image(ldr, args.cols))
             sys.stdout.write(
-                f"\x1b[0m\n[{rt.currentSampleCount()} spp] eye="
+                f"\x1b[0m\n[{rt.currentSampleCount()} spp] "
+                f"view={_VIEWS[view]} eye="
                 f"{o.eye.round(2).tolist()} exp={exposure:.2f} "
-                f"(wasdqe move, arrows look, p shot, x quit)  \n")
+                f"(wasdqe move, arrows look, v AOV, h hist, p shot, "
+                f"x quit)  \n")
+            if show_hist:
+                sys.stdout.write(_histogram_pane(rt, args.cols) + "\n")
             sys.stdout.flush()
             if select.select([sys.stdin], [], [], 0.0)[0]:
                 c = sys.stdin.read(1)
                 if c == "x":
                     break
+                elif c == "v":
+                    view = (view + 1) % len(_VIEWS)
+                    continue
+                elif c == "h":
+                    show_hist = not show_hist
+                    sys.stdout.write("\x1b[2J")
+                    continue
                 elif c == "w":
                     o.move(f=speed)
                 elif c == "s":
