@@ -439,6 +439,31 @@ class Runtime:
         return image_info(self.currentFrame(), scale=scale, bins=bins,
                           histogram=histogram, percentile=percentile)
 
+    def bake(self, texture, width=256, height=256) -> np.ndarray:
+        """Bake a texture or PExpr expression to an (H, W, 3) image over
+        the unit uv grid — Runtime::bake / shader/BakeShader.cpp and
+        artic/entrypoints/bake.art:1-26 (uvw = (x/(w-1), y/(h-1), 0),
+        null shading context).
+
+        `texture` is a scene texture NAME or a raw PExpr string."""
+        from ignis_tpu.texture.eval import eval_one
+        from ignis_tpu.texture.loader import TEX_EXPR
+        tex = None
+        for t in self.scene.textures:
+            if t.get("name") == texture:
+                tex = t
+                break
+        if tex is None:
+            tex = dict(type=TEX_EXPR, name="__bake", expr=str(texture),
+                       obj={})
+        us = np.arange(width, dtype=np.float32) / max(width - 1, 1)
+        vs = np.arange(height, dtype=np.float32) / max(height - 1, 1)
+        uu, vv = np.meshgrid(us, vs)
+        uv = jnp.asarray(np.stack([uu.reshape(-1), vv.reshape(-1)],
+                                  axis=-1), jnp.float32)
+        out = eval_one(self.scene, self.tables, tex, uv)
+        return np.asarray(out).reshape(height, width, 3)
+
     def evaluateGlare(self, settings=None, **kw):
         """DGP glare analysis of the current frame (Runtime.cpp:640-652).
 
@@ -494,22 +519,28 @@ class Runtime:
 
         x = jnp.arange(npad, dtype=jnp.int32)
         y = jnp.zeros((npad,), jnp.int32)
-        total = np.zeros((n, 3), np.float32)
-        for it in range(spp):
-            color = _trace_rays_jit(self.scene, self.tables, x, y,
-                                    jnp.uint32(0), jnp.uint32(it),
-                                    jnp.uint32(self.frame), self.seed,
-                                    jnp.asarray(org), jnp.asarray(dirs),
-                                    jnp.asarray(tmin), jnp.asarray(tmax))
-            total += np.asarray(color)[:n]
-        return total / max(1, spp)
+        # ONE dispatch: the spp loop runs inside the jit (a host loop was
+        # one dispatch per sample per call — fine for tiny oracles, 100x
+        # dispatch overhead for igtrace on big ray lists)
+        color = _trace_rays_jit(self.scene, self.tables, x, y,
+                                jnp.uint32(self.frame), self.seed,
+                                jnp.asarray(org), jnp.asarray(dirs),
+                                jnp.asarray(tmin), jnp.asarray(tmax),
+                                max(1, spp))
+        return np.asarray(color)[:n]
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _trace_rays_jit(scene, tables, x, y, sample, iteration, frame, seed,
-                    org, dirs, tmin, tmax):
-    return trace_wave(scene, tables, x, y, sample, iteration, frame, seed,
-                      org=org, direction=dirs, tmin=tmin, tmax=tmax)
+@partial(jax.jit, static_argnums=(0, 10))
+def _trace_rays_jit(scene, tables, x, y, frame, seed,
+                    org, dirs, tmin, tmax, spp):
+    def body(it, acc):
+        return acc + trace_wave(scene, tables, x, y, jnp.uint32(0),
+                                it.astype(jnp.uint32), frame, seed,
+                                org=org, direction=dirs, tmin=tmin,
+                                tmax=tmax)
+    acc = jax.lax.fori_loop(0, spp, body,
+                            jnp.zeros((x.shape[0], 3), jnp.float32))
+    return acc / jnp.float32(spp)
 
 
 def load_scene(source, **kw) -> Runtime:

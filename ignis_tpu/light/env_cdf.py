@@ -41,6 +41,57 @@ def build_cdf2d(img: np.ndarray, premultiply_sin=True, compensate=True):
     return marg.astype(np.float32), cond.astype(np.float32)
 
 
+def build_sat2d(img: np.ndarray, premultiply_sin=True, compensate=True):
+    """Summed-area-table env CDF variant (CDF.cpp:135-193
+    computeForImageSAT), selected by `cdf_method: "sat"` on env lights
+    (EnvironmentLight.cpp:15).  Returns the normalized (H, W) SAT with
+    the reference's exact weighting: sin premultiply per row, the MIS
+    compensation defect subtracted per channel, channel-mean / 3."""
+    h, w = img.shape[0], img.shape[1]
+    min_eps = 1e-5
+    defect = np.zeros(3, np.float32)
+    if compensate:
+        defect = np.maximum(img, 0).mean(axis=(0, 1)).astype(np.float32)
+    val = np.maximum(img - defect, 0.0).sum(axis=2) / 3.0
+    if premultiply_sin:
+        val = val * np.sin(np.pi * (np.arange(h) + 0.5) / h)[:, None]
+    sat = np.cumsum(np.cumsum(val, axis=0), axis=1)
+    total = sat[-1, -1]
+    if total > min_eps:
+        sat = sat / total
+    else:
+        sat = (np.arange(h * w, dtype=np.float64) / (h * w - 1)).reshape(
+            h, w)
+    sat[-1, -1] = 1.0
+    return sat.astype(np.float32)
+
+
+def sat_to_cdf(sat: np.ndarray):
+    """Derive the (marginal, conditional) sampling tables from a SAT —
+    the induced distribution is identical (the SAT is just the 2D
+    cumulative storage of the same weights), so the existing cdf2d
+    sampler/pdf path applies unchanged."""
+    h, w = sat.shape
+    min_eps = 1e-5
+    # per-cell mass via the 4-corner difference, then row cumsums
+    cell = np.diff(np.diff(np.pad(sat, ((1, 0), (1, 0))), axis=0), axis=1)
+    cell = np.maximum(cell, 0.0)
+    cond = np.cumsum(cell, axis=1)
+    row_sum = cond[:, -1].copy()
+    good = row_sum > min_eps / max(h * w, 1)
+    cond = np.where(good[:, None],
+                    cond / np.maximum(row_sum[:, None], 1e-20),
+                    (np.arange(w, dtype=np.float32)[None, :] / (w - 1)))
+    cond[:, -1] = 1.0
+    marg = np.cumsum(row_sum)
+    if marg[-1] > min_eps:
+        marg = marg / marg[-1]
+    else:
+        marg = np.arange(h, dtype=np.float32) / (h - 1)
+    marg[-1] = 1.0
+    return marg.astype(np.float32), cond.astype(np.float32)
+
+
 def _cdf1d_sample(data, u):
     """data: inclusive cumsum [x1..1]; virtual leading 0 (cdf.art:67-70).
 

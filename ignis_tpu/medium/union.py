@@ -118,18 +118,69 @@ def _hetero_transmittance(scene, tables, mi, med, p_start, p_end):
     return jnp.exp(-tau)
 
 
-def medium_eval(scene, tables, medium_id, sigma_a, sigma_s, p_start, p_end):
+# fixed flight budget for the stochastic ratio tracker; the product is
+# clamped after the last flight (practically converged: the expected
+# flight count is tau_majorant, single-digit for real volumes)
+_RT_FLIGHTS = 32
+# independent RNG substream salt: transmittance draws must not correlate
+# with the technique's (seed, counter) stream, and threading an advanced
+# counter through every transmittance call site would leak the estimator
+# choice into the wavefront payload — a salted seed gives a parallel
+# stateless stream instead
+_RT_SALT = np.uint32(0x9E3779B9)
+
+
+def _hetero_ratio_transmittance(scene, tables, mi, med, p_start, p_end,
+                                seed, counter):
+    """Stochastic ratio tracking (medium/methods/delta_tracking.art:100-137
+    eval_tr): Tr ≈ prod_k (1 - sigma_t(x_k)/mu_bar) over majorant free
+    flights.  Unbiased per-flight; fixed _RT_FLIGHTS unrolled trips."""
+    from ignis_tpu.medium.volume import inside_unit, to_normalized_point
+    seg = p_end - p_start
+    dist = length(seg)
+    dirn = seg * safe_div(1.0, dist)[..., None]
+    maj = tables["medium_majorant"][mi]
+    mu = jnp.maximum(jnp.max(maj), 1e-6)
+    t = jnp.zeros_like(dist)
+    tr = jnp.ones(p_start.shape[:-1] + (3,), jnp.float32)
+    salted = seed ^ jnp.uint32(_RT_SALT)
+    c = counter
+    for _k in range(_RT_FLIGHTS):
+        u, c = rng.next_f32(salted, c)
+        t = t - jnp.log(jnp.maximum(1.0 - u * 0.99999, 1e-30)) / mu
+        on = t < dist
+        pos = p_start + dirn * t[..., None]
+        ss, sa, _ = _hetero_props_at(scene, tables, mi, med, pos)
+        lref = to_normalized_point(tables, med["ref_entity"], pos)
+        ext = jnp.where(inside_unit(lref)[..., None], ss + sa, 0.0)
+        f = jnp.clip(1.0 - ext / mu, 0.0, 1.0)
+        tr = jnp.where(on[..., None], tr * f, tr)
+    return tr
+
+
+def medium_eval(scene, tables, medium_id, sigma_a, sigma_s, p_start, p_end,
+                seed=None, counter=None):
     """Transmittance between two points.
 
-    Homogeneous: closed form (medium/homogeneous.art).  Heterogeneous:
-    deterministic optical-thickness quadrature (see _hetero_transmittance).
+    Homogeneous: closed form (medium/homogeneous.art).  Heterogeneous: the
+    scene-selected method family (HeterogeneousMedium.cpp:223-236) —
+    `method: delta_tracking` uses stochastic ratio tracking when an RNG
+    stream is available; `regular` / `ray_marching` (default) use the
+    deterministic optical-thickness quadrature, which also serves as the
+    differentiable path (the ratio tracker's clip() kinks its gradient).
     """
     sigma_t = sigma_a + sigma_s
     dist = length(p_end - p_start)
     tr = jnp.exp(-sigma_t * dist[..., None])
     tr = jnp.where((medium_id >= 0)[..., None], tr, 1.0)
     for mi, med in _hetero_media(scene):
-        h = _hetero_transmittance(scene, tables, mi, med, p_start, p_end)
+        if (med.get("method") == "delta_tracking" and seed is not None
+                and counter is not None):
+            h = _hetero_ratio_transmittance(scene, tables, mi, med,
+                                            p_start, p_end, seed, counter)
+        else:
+            h = _hetero_transmittance(scene, tables, mi, med, p_start,
+                                      p_end)
         tr = jnp.where((medium_id == mi)[..., None], h, tr)
     return tr
 

@@ -394,7 +394,7 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
         mctx = _pexpr_ctx(tables, surf, org, d)
         m_sa, m_ss, m_g = medium_coefficients(scene, tables, med, mctx)
         hitvol = medium_eval(scene, tables, med, m_sa, m_ss, org,
-                             surf["point"])
+                             surf["point"], seed=seed, counter=counter)
         inf_tr = medium_eval_inf(scene, tables, med, m_sa, m_ss, org, d)
         was_medium = jnp.signbit(inv_pdf)
         inv_pdf_eff = jnp.maximum(inv_pdf, 0.0)
@@ -473,7 +473,8 @@ def _bounce_core(scene, tables, st, tri_mask, shadow_mask, mask_bit=None):
             # (volpathtracer.art:40-83)
             from ignis_tpu.medium import medium_eval, medium_eval_inf
             seg_fin = medium_eval(scene, tables, med, m_sa, m_ss,
-                                  surf["point"], ls["pos"])
+                                  surf["point"], ls["pos"],
+                                  seed=seed, counter=counter)
             seg_inf = medium_eval_inf(scene, tables, med, m_sa, m_ss,
                                       surf["point"], ls["dir"])
             seg = jnp.where(ls["infinite"][..., None], seg_inf, seg_fin)

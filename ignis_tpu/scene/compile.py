@@ -1128,11 +1128,25 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
             tid = tex_of(tex) if isinstance(tex, str) else -1
             use_cdf = bool(lobj.get("cdf", True))
             if tid >= 0 and use_cdf:
-                # bake + 2D CDF (EnvironmentLight.cpp:47-66)
-                from ignis_tpu.light.env_cdf import build_cdf2d
+                # bake + 2D CDF (EnvironmentLight.cpp:47-66); the SAT
+                # variant (cdf_method: "sat", EnvironmentLight.cpp:15,
+                # CDF.cpp:135 computeForImageSAT) builds the summed-area
+                # table with the reference's exact weighting (sin applied
+                # to the FULL cell weight, not just the marginal) and
+                # derives the sampling tables from it
+                from ignis_tpu.light.env_cdf import (build_cdf2d,
+                                                     build_sat2d,
+                                                     sat_to_cdf)
                 img = _bake_texture(textures, img_tables, tid)
-                m, c = build_cdf2d(img, premultiply_sin=True,
-                                   compensate=bool(lobj.get("compensate", True)))
+                comp = bool(lobj.get("compensate", True))
+                if str(lobj.get("cdf_method", "")).lower() == "sat":
+                    sat = build_sat2d(img, premultiply_sin=True,
+                                      compensate=comp)
+                    light_extra[f"light{lid}_sat"] = sat
+                    m, c = sat_to_cdf(sat)
+                else:
+                    m, c = build_cdf2d(img, premultiply_sin=True,
+                                       compensate=comp)
                 light_extra[f"light{lid}_cdf_m"] = m
                 light_extra[f"light{lid}_cdf_c"] = c
                 lights.append(LightInfo(LIGHT_ENV_CDF, lname, True, False,

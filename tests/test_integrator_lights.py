@@ -117,3 +117,59 @@ def test_two_sided_diffuse_constant_env_furnace():
         vals[nee] = float(img[8:16, 8:16, 0].mean())
     assert vals[False] == pytest.approx(0.8, rel=0.02)
     assert vals[True] == pytest.approx(0.8, rel=0.05)
+
+
+def test_env_sat_cdf_variant():
+    """cdf_method: "sat" (CDF.cpp computeForImageSAT / EnvironmentLight
+    .cpp:15): the SAT stores the exact reference weighting and its derived
+    sampling tables integrate the same env as the plain CDF."""
+    import numpy as np
+    from ignis_tpu.light.env_cdf import build_sat2d, sat_to_cdf
+    rng = np.random.default_rng(3)
+    img = rng.uniform(0, 1, (32, 64, 3)).astype(np.float32) ** 2
+    img[5, 11] = 50.0  # bright texel
+    sat = build_sat2d(img, premultiply_sin=True, compensate=False)
+    assert sat.shape == (32, 64)
+    assert abs(float(sat[-1, -1]) - 1.0) < 1e-6
+    # monotone in both axes
+    assert (np.diff(sat, axis=0) >= -1e-6).all()
+    assert (np.diff(sat, axis=1) >= -1e-6).all()
+    m, c = sat_to_cdf(sat)
+    # the derived marginal reproduces the sin-weighted row masses
+    w = (img.sum(axis=2) / 3.0
+         * np.sin(np.pi * (np.arange(32) + 0.5) / 32)[:, None])
+    rows = w.sum(axis=1)
+    expect = np.cumsum(rows) / rows.sum()
+    np.testing.assert_allclose(m, expect, rtol=1e-4, atol=1e-5)
+    # row 5's conditional concentrates on the bright texel
+    jump = c[5, 11] - (c[5, 10] if 10 >= 0 else 0.0)
+    assert jump > 0.5
+
+
+def test_env_sat_scene_loads_and_renders():
+    import numpy as np
+    from ignis_tpu.api import Runtime
+    from ignis_tpu.utils.exr import write_exr
+    import tempfile, os
+    rng = np.random.default_rng(1)
+    with tempfile.TemporaryDirectory() as td:
+        exr = os.path.join(td, "e.exr")
+        write_exr(exr, rng.uniform(0, 2, (16, 32, 3)).astype(np.float32))
+        sc = {
+            "technique": {"type": "path", "max_depth": 2},
+            "camera": {"type": "perspective", "fov": 60,
+                       "transform": {"translate": [0, 0, -3]}},
+            "film": {"size": [24, 24]},
+            "textures": [{"type": "image", "name": "env", "filename": exr}],
+            "bsdfs": [{"type": "diffuse", "name": "m",
+                       "reflectance": 0.6}],
+            "shapes": [{"type": "rectangle", "name": "sq", "width": 2,
+                        "height": 2}],
+            "entities": [{"name": "sq", "shape": "sq", "bsdf": "m"}],
+            "lights": [{"type": "env", "name": "sky", "radiance": "env",
+                        "cdf": True, "cdf_method": "sat"}],
+        }
+        rt = Runtime(sc)
+        assert any(k.endswith("_sat") for k in rt.tables)
+        rt.step(spi=2)
+        assert np.isfinite(rt.currentFrame()).all()

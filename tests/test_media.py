@@ -132,7 +132,7 @@ def test_constant_grid_delta_tracking_matches_homogeneous(tmp_path):
     rt = load_scene(json.dumps(_hetero_scene(tmp_path, sa, ss)))
     scene, tables = rt.scene, rt.tables
 
-    n = 512
+    n = 4096
     key = np.random.default_rng(3)
     p0 = jnp.asarray(np.tile([-0.9, 0.0, 0.0], (n, 1)), jnp.float32)
     p1 = jnp.asarray(np.tile([0.9, 0.0, 0.0], (n, 1)), jnp.float32)
@@ -237,3 +237,37 @@ def test_nvdb_medium_end_to_end(tmp_path):
     img = rt.currentFrame()
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_ratio_tracking_transmittance_converges(tmp_path):
+    """`method: delta_tracking` selects the stochastic ratio tracker
+    (HeterogeneousMedium.cpp:223-236; delta_tracking.art eval_tr): its
+    seed-averaged estimate must converge to the closed-form/quadrature
+    transmittance, and the default method must remain deterministic."""
+    import jax.numpy as jnp
+    from ignis_tpu.api import load_scene
+    from ignis_tpu.medium.union import medium_eval
+
+    sa, ss = [0.4, 0.9, 1.4], [0.3, 0.2, 0.1]
+    sc = _hetero_scene(tmp_path, sa, ss)
+    for m in sc["media"]:
+        m["method"] = "delta_tracking"
+    rt = load_scene(json.dumps(sc))
+    scene, tables = rt.scene, rt.tables
+    assert scene.media[0]["method"] == "delta_tracking"
+
+    n = 4096
+    p0 = jnp.tile(jnp.asarray([[-0.9, 0.0, 0.0]]), (n, 1))
+    p1 = jnp.tile(jnp.asarray([[0.9, 0.0, 0.0]]), (n, 1))
+    mid = jnp.zeros((n,), jnp.int32)
+    zeros = jnp.zeros((n, 3), jnp.float32)
+    seeds = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(7919)
+    ctr = jnp.zeros((n,), jnp.uint32)
+    tr = medium_eval(scene, tables, mid, zeros, zeros, p0, p1,
+                     seed=seeds, counter=ctr)
+    est = np.asarray(tr).mean(axis=0)
+    expect = np.exp(-(np.asarray(sa) + np.asarray(ss)) * 1.8)
+    np.testing.assert_allclose(est, expect, rtol=0.1, atol=0.01)
+    # without an RNG stream the call stays deterministic (quadrature)
+    tr_q = medium_eval(scene, tables, mid, zeros, zeros, p0, p1)
+    np.testing.assert_allclose(np.asarray(tr_q)[0], expect, rtol=1e-5)

@@ -142,3 +142,33 @@ def test_parameter_plane_scene_compiles(ref_scenes):
                     width=16, height=16)
     rt.step(spi=1)
     assert np.isfinite(rt.currentFrame()).all()
+
+
+def test_runtime_bake_texture_and_expr():
+    """Runtime.bake (BakeShader.cpp / entrypoints/bake.art): bakes scene
+    textures and raw PExpr strings over the unit uv grid."""
+    import numpy as np
+    from ignis_tpu.api import Runtime
+    sc = {
+        "technique": {"type": "path", "max_depth": 2},
+        "camera": {"type": "perspective", "fov": 60,
+                   "transform": {"translate": [0, 0, -3]}},
+        "film": {"size": [16, 16]},
+        "textures": [{"type": "checkerboard", "name": "check",
+                      "color0": 1.0, "color1": 0.0}],
+        "bsdfs": [{"type": "diffuse", "name": "m", "reflectance": "check"}],
+        "shapes": [{"type": "rectangle", "name": "sq", "width": 2,
+                    "height": 2}],
+        "entities": [{"name": "sq", "shape": "sq", "bsdf": "m"}],
+        "lights": [{"type": "env", "name": "sky", "radiance": 1.0}],
+    }
+    rt = Runtime(sc)
+    img = rt.bake("check", 32, 16)
+    assert img.shape == (16, 32, 3)
+    assert np.isfinite(img).all()
+    # checkerboard: both extremes present
+    assert img.max() > 0.9 and img.min() < 0.1
+    expr = rt.bake("vec3(uv.x, uv.y, 0.5)", 16, 8)
+    assert expr.shape == (8, 16, 3)
+    np.testing.assert_allclose(expr[0, -1, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(expr[-1, 0, 1], 1.0, atol=1e-5)
