@@ -37,9 +37,48 @@ def _matrix(m):
     return [float(m[r][c]) for r in range(4) for c in range(4)]
 
 
-def _export_material(mat):
+def _camera_matrix(m):
+    """Blender cameras look down -Z; the reference convention is
+    +Z-forward/+Y-up, so rotate 180 deg about local Y (utils.py
+    orient_y_up_z_forward: rot @ Quaternion((0,0,1,0))) — i.e. negate
+    the first and third columns of the rotation part."""
+    out = [[float(m[r][c]) for c in range(4)] for r in range(4)]
+    for r in range(3):
+        out[r][0] = -out[r][0]
+        out[r][2] = -out[r][2]
+    return [v for row in out for v in row]
+
+
+def _image_tex_of(node_input, name, out_dir, textures):
+    """If the socket is driven by an Image Texture node, export the image
+    and register it as a scene texture; returns the texture name or None
+    (reference node.py export_node image path)."""
+    for link in getattr(node_input, "links", []) or []:
+        src = link.from_node
+        if getattr(src, "bl_idname", "") == "ShaderNodeTexImage" and \
+                getattr(src, "image", None) is not None:
+            img = src.image
+            base = os.path.basename(img.filepath or (img.name + ".png"))
+            img_path = os.path.join(out_dir, "textures", base)
+            os.makedirs(os.path.dirname(img_path), exist_ok=True)
+            try:
+                img.save_render(img_path)
+            except Exception:
+                pass
+            tname = f"_tex_{name}"
+            textures.append({
+                "type": "image", "name": tname,
+                "filename": os.path.relpath(img_path, out_dir),
+                "linear": getattr(getattr(img, "colorspace_settings", None),
+                                  "name", "sRGB") != "sRGB"})
+            return tname
+    return None
+
+
+def _export_material(mat, out_dir, textures):
     """Principled BSDF node -> ignis principled entry (reference
-    export_material.py semantics)."""
+    bsdf.py/export_material semantics; image-texture-driven sockets
+    export their image and bind by texture name)."""
     out = {"type": "principled", "name": mat.name}
     node = None
     if mat.use_nodes:
@@ -56,6 +95,10 @@ def _export_material(mat):
         s = node.inputs.get(name)
         if s is None:
             return default
+        tex = _image_tex_of(s, f"{mat.name}_{name}".replace(" ", "_"),
+                            out_dir, textures)
+        if tex is not None:
+            return tex
         v = s.default_value
         try:
             return _color3(v)
@@ -106,8 +149,26 @@ def _export_light(obj):
                 "direction": [float(v) for v in d],
                 "irradiance": [li.energy * c for c in _color3(li.color)]}
     if li.type == "AREA":
-        return {"type": "area", "name": obj.name, "entity": obj.name,
-                "power": [li.energy * c for c in _color3(li.color)]}
+        # Blender area lights are implicit geometry: emit a rectangle
+        # entity of the light's size under its world transform with a
+        # black bsdf, and bind the area light to it (reference light.py
+        # export_area_light — power is Watts, the loader's
+        # AreaLight.cpp:101 power->radiance conversion applies)
+        sx = float(getattr(li, "size", 1.0))
+        sy = float(getattr(li, "size_y", sx) or sx)
+        if getattr(li, "shape", "SQUARE") in ("SQUARE", "DISK"):
+            sy = sx
+        # flip_normals: Blender area lights emit along local -Z
+        # (reference light.py:98-103)
+        shape = {"type": "rectangle", "name": f"{obj.name}_shape",
+                 "width": sx, "height": sy, "flip_normals": True}
+        entity = {"name": f"{obj.name}_ent", "shape": f"{obj.name}_shape",
+                  "bsdf": "__black", "camera_visible": False,
+                  "transform": _matrix(obj.matrix_world)}
+        light = {"type": "area", "name": obj.name,
+                 "entity": f"{obj.name}_ent",
+                 "power": [li.energy * c for c in _color3(li.color)]}
+        return ("area", shape, entity, light)
     return None
 
 
@@ -145,8 +206,6 @@ def _export_world(world, out_dir):
 
 
 def export_scene(context, filepath):
-    import bpy
-
     out_dir = os.path.dirname(os.path.abspath(filepath))
     mesh_dir = os.path.join(out_dir, "meshes")
     os.makedirs(mesh_dir, exist_ok=True)
@@ -161,21 +220,48 @@ def export_scene(context, filepath):
         "lights": [],
     }
     if cam is not None:
-        doc["camera"] = {
-            "type": "perspective",
-            "fov": math.degrees(cam.data.angle),
-            "near_clip": cam.data.clip_start,
-            "far_clip": cam.data.clip_end,
-            "transform": _matrix(cam.matrix_world),
-        }
+        cd = cam.data
+        if getattr(cd, "type", "PERSP") == "ORTHO":
+            doc["camera"] = {
+                "type": "orthogonal",
+                "scale": float(getattr(cd, "ortho_scale", 1.0)),
+                "near_clip": cd.clip_start, "far_clip": cd.clip_end,
+                "transform": _camera_matrix(cam.matrix_world),
+            }
+        else:
+            doc["camera"] = {
+                "type": "perspective",
+                "fov": math.degrees(cd.angle),
+                "near_clip": cd.clip_start,
+                "far_clip": cd.clip_end,
+                "transform": _camera_matrix(cam.matrix_world),
+            }
+            dof = getattr(cd, "dof", None)
+            if dof is not None and getattr(dof, "use_dof", False):
+                doc["camera"]["focal_length"] = float(
+                    getattr(dof, "focus_distance", 1.0))
+                doc["camera"]["aperture_radius"] = float(
+                    cd.lens / 2000.0 / max(getattr(dof, "aperture_fstop",
+                                                   2.8), 1e-3))
+    # film/sampler settings (reference render.py)
+    spp = getattr(getattr(scene, "cycles", None), "samples", None)
+    if spp:
+        doc["film"]["spp"] = int(spp)
 
     mats = set()
+    need_black = False
     for obj in scene.objects:
         if obj.hide_render:
             continue
         if obj.type == "LIGHT":
             li = _export_light(obj)
-            if li is not None:
+            if isinstance(li, tuple) and li[0] == "area":
+                _, shape, entity, light = li
+                doc["shapes"].append(shape)
+                doc["entities"].append(entity)
+                doc["lights"].append(light)
+                need_black = True
+            elif li is not None:
                 doc["lights"].append(li)
             continue
         if obj.type != "MESH":
@@ -191,7 +277,8 @@ def export_scene(context, filepath):
         mat = obj.active_material
         mname = mat.name if mat else "__default"
         if mat and mat.name not in mats:
-            doc["bsdfs"].append(_export_material(mat))
+            doc["bsdfs"].append(_export_material(mat, out_dir,
+                                                 doc["textures"]))
             mats.add(mat.name)
         elif not mat and "__default" not in mats:
             doc["bsdfs"].append({"type": "diffuse", "name": "__default",
@@ -200,6 +287,10 @@ def export_scene(context, filepath):
         doc["entities"].append({
             "name": obj.name, "shape": obj.name, "bsdf": mname,
             "transform": _matrix(obj.matrix_world)})
+
+    if need_black:
+        doc["bsdfs"].append({"type": "diffuse", "name": "__black",
+                             "reflectance": 0.0})
 
     w = _export_world(scene.world, out_dir)
     if w is not None:
@@ -214,18 +305,40 @@ def export_scene(context, filepath):
 
 
 def _write_ply(me, path):
-    """Minimal binary-less ascii PLY writer (triangulated)."""
+    """Ascii PLY writer: positions + (when present) vertex normals and
+    the active UV layer, triangulated.  UVs are REQUIRED for textured
+    round-trips (reference ply.py save_mesh writes nx..ny/s,t too)."""
     me.calc_loop_triangles()
     verts = me.vertices
     tris = me.loop_triangles
+    uvl = None
+    layers = getattr(me, "uv_layers", None)
+    if layers is not None and getattr(layers, "active", None) is not None:
+        uvl = layers.active.data
+    # per-vertex uv from the first loop that references the vertex
+    uvs = None
+    if uvl is not None:
+        uvs = [(0.0, 0.0)] * len(verts)
+        for t in tris:
+            for li, vi in zip(t.loops, t.vertices):
+                u, v = uvl[li].uv
+                uvs[vi] = (float(u), float(v))
     with open(path, "w") as f:
         f.write("ply\nformat ascii 1.0\n")
         f.write(f"element vertex {len(verts)}\n")
         f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property float nx\nproperty float ny\nproperty float nz\n")
+        if uvs is not None:
+            f.write("property float s\nproperty float t\n")
         f.write(f"element face {len(tris)}\n")
         f.write("property list uchar int vertex_indices\nend_header\n")
-        for v in verts:
-            f.write(f"{v.co[0]} {v.co[1]} {v.co[2]}\n")
+        for i, v in enumerate(verts):
+            n = getattr(v, "normal", (0.0, 0.0, 1.0))
+            row = (f"{v.co[0]} {v.co[1]} {v.co[2]} "
+                   f"{n[0]} {n[1]} {n[2]}")
+            if uvs is not None:
+                row += f" {uvs[i][0]} {uvs[i][1]}"
+            f.write(row + "\n")
         for t in tris:
             a, b, c = t.vertices
             f.write(f"3 {a} {b} {c}\n")
