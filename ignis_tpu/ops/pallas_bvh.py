@@ -29,15 +29,17 @@ extract, not the math, was the visit).  This version:
   <= 7 per trip), so pushes are NEVER dropped and deep trees stay correct.
 
 Measured on the 512k-tri field scene (v5e, honest marginal timing):
-coherent 5.8 -> 636 Mrays/s, incoherent 0.65 -> 1.32 Mrays/s vs the r4
-kernel.  The coherent two orders of magnitude came in two steps: the
-SMEM-DMA visit (5.8 -> 12) and discovering that the always-on ray sort's
-12 permutation gathers (~6 ns/lane serial on TPU) had been charging every
-call ~20 ms — 50x the actual traversal work of a coherent wave (12 ->
-636 with sort opt-in).  A host simulation counts ~5 row visits per
-coherent 1024-ray packet vs ~1950 per incoherent packet: incoherent waves
-are genuinely visit-bound (~350 cycles/visit), which is the union-of-
-paths cost, not overhead.  Negative results kept for the record: an
+coherent 5.8 -> 170 Mrays/s, incoherent 0.65 -> 1.72 Mrays/s vs the r4
+kernel.  The coherent ~30x came in two steps: the SMEM-DMA visit
+(5.8 -> 12) and discovering that the always-on ray sort's 12 permutation
+gathers (~6 ns/lane serial on TPU) had been charging every call ~20 ms —
+far above the actual traversal work of a coherent wave (sort is opt-in
+now, and rides multi-operand lax.sort when on).  A single 636 reading
+seen during development FAILED re-measurement (168.8/170.0) and was
+rejected — the async-escape class the r4 timing audit exists for.  A
+host simulation counts ~5 row visits per coherent 1024-ray packet vs
+~1950 per incoherent packet: incoherent waves are genuinely visit-bound
+(~350 cycles/visit), which is the union-of-paths cost, not overhead.  Negative results kept for the record: an
 8-element packet-vote child ordering network (r4: -7% coherent, -29%
 incoherent); replacing the 8 jnp.any reductions with a roll-based
 OR-reduce to one lane extract (r5: -42% incoherent — Mosaic scalar
@@ -475,9 +477,9 @@ def _call(tables, org, d, tmin, tmax, mask_bit, any_hit, interpret=False,
                      for k in range(4))
     # Coherence sort rides MULTI-OPERAND lax.sort, NOT permutation
     # gathers.  An index-gather permutation is 12 serial TPU gathers
-    # (~6 ns/lane; ~20 ms per 2^18-ray call) — r5 measured it at 50x the
-    # entire traversal cost of a coherent wave (12.5 -> 636 Mrays/s with
-    # it off).  lax.sort carrying the 8 ray columns + original index
+    # (~6 ns/lane; ~20 ms per 2^18-ray call) — r5 measured it dominating
+    # every coherent call (12.5 -> 170 Mrays/s with it off).
+    # lax.sort carrying the 8 ray columns + original index
     # (and a second 5-operand sort to restore output order) costs 0.13 ms
     # per 65536 rays on the same chip — the visit savings and dead-lane
     # clustering come essentially for free.

@@ -230,6 +230,10 @@ def render_standin(scene_path, spp, out_dir):
         for l in d.get("lights", []):
             if l.get("type") in ("env", "envmap", "constant"):
                 l["cdf"] = use_cdf
+        # the adjudication needs the env-sampling machinery, not deep
+        # transport; depth dominates the (uncached) CPU compile time
+        t = d.setdefault("technique", {})
+        t["max_depth"] = min(int(t.get("max_depth", 64)), 4)
         # externals may pull the env light indirectly; also rewrite any
         # copied scene includes by staging next to the original
         tmp = out_dir / (Path(scene_path).stem
