@@ -81,12 +81,22 @@ def _hits(tables, org, d, tmin, tmax, mask_bit):
     return jnp.where(ok, tcand, jnp.inf)
 
 
+_CHUNK = 1 << 16   # dense (rays, spheres) sweep: bound the temporaries
+
+
 def sphere_closest(tables, org, d, tmin, tmax, mask_bit=0xF):
     """Best sphere hit per ray: (t, u, v, idx); idx = -1 on miss."""
     org, d, tmin, tmax = map(jax.lax.stop_gradient, (org, d, tmin, tmax))
     n = org.shape[0]
     tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
     tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
+    if n > _CHUNK:
+        outs = [sphere_closest(tables, org[i:i + _CHUNK], d[i:i + _CHUNK],
+                               tmin[i:i + _CHUNK], tmax[i:i + _CHUNK],
+                               mask_bit)
+                for i in range(0, n, _CHUNK)]
+        return tuple(jnp.concatenate([o[k] for o in outs])
+                     for k in range(4))
     tc = _hits(tables, org, d, tmin, tmax, mask_bit)
     j = jnp.argmin(tc, axis=1)
     lanes = jnp.arange(n)
@@ -115,6 +125,11 @@ def sphere_any(tables, org, d, tmin, tmax, mask_bit=0xF):
     n = org.shape[0]
     tmin = jnp.broadcast_to(tmin, (n,)).astype(jnp.float32)
     tmax = jnp.broadcast_to(tmax, (n,)).astype(jnp.float32)
+    if n > _CHUNK:
+        return jnp.concatenate(
+            [sphere_any(tables, org[i:i + _CHUNK], d[i:i + _CHUNK],
+                        tmin[i:i + _CHUNK], tmax[i:i + _CHUNK], mask_bit)
+             for i in range(0, n, _CHUNK)])
     tc = _hits(tables, org, d, tmin, tmax, mask_bit)
     return jnp.any(jnp.isfinite(tc), axis=1)
 

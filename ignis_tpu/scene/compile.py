@@ -809,8 +809,12 @@ def compile_scene(scene: Scene, width: int | None = None, height: int | None = N
         # (ops/spheres.py) instead of a tessellated bake — exact hits and
         # exact solid-angle light sampling (the three-planes family's
         # r=0.01 source was previously a blurred 512-tri uv-sphere).
+        # the analytic sweep is a dense (rays, spheres) test — past a few
+        # hundred spheres its memory/work beats tessellation+BVH, so
+        # later spheres fall back to the mesh path
         asph = getattr(mesh, "analytic", None)
         if (asph is not None and asph[0] == "sphere"
+                and len(sph_list) < 64
                 and not eobj.get("inner_medium")
                 and not eobj.get("outer_medium")):
             R3 = m4[:3, :3]
