@@ -310,7 +310,26 @@ def _kernel(mask_ref, top, tris, clust, inst, ox, oy, oz, dx, dy, dz,
 
     # top-level 8-wide BVH over instance AABBs (shared SMEM stack, like
     # ops/pallas_bvh): culls instances in log time instead of the r4
-    # dense every-instance sweep
+    # dense every-instance sweep.  A single-row table (<= 8 instances)
+    # is just one leaf: process its slots directly — the while-loop
+    # machinery measured a few percent on small-instance scenes like
+    # diamond_scene.
+    if top.shape[0] == 1:
+        best = init
+        for s in range(_TOP_WIDTH):
+            iid = top[0, s].astype(jnp.int32)
+            best = jax.lax.cond(
+                iid >= 0,
+                lambda b, iid=iid: inst_body(iid, b),
+                lambda b: b, best)
+        bt, bu, bv, bi, be = best
+        out_t[:] = bt
+        out_u[:] = bu
+        out_v[:] = bv
+        out_i[:] = bi
+        out_e[:] = be
+        return
+
     stack[0] = jnp.int32(0)
 
     def tcond(carry):
